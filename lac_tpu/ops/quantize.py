@@ -1,0 +1,100 @@
+"""Deterministic integer CDF construction and rescaling.
+
+This module is the single principled mechanism replacing the reference's
+three independent quantization guards (SURVEY.md §2.4):
+
+1. pre-quantization additive bias   (reference arithmetic_coding.py:63-72)
+2. rescale-time flooring            (reference arith_code.py:83-93)
+3. fixed-point clip at model output (reference llama_compress.py:29)
+
+Two invariants every function here preserves:
+
+- **codability**: every symbol's quantized width is >= 1, so the entropy
+  coder can always represent it;
+- **exact totals**: a quantized distribution sums exactly to its stated
+  total, so encoder and decoder partition the interval identically.
+
+The host (NumPy) and device (jax.numpy) implementations are written with the
+same operation order. Cross-path bit-equality of the *float* stage is not
+assumed anywhere (XLA and libm exp() may differ); what matters is that a
+given path is self-consistent between its own encode and decode, which holds
+because both run the identical computation (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "rescale_cdf",
+    "quantize_logits_np",
+    "cdf_from_freq_np",
+]
+
+
+def rescale_cdf(cdf, denom: int):
+    """Rescale an integer CDF (cumulative counts, total ``cdf[-1]``) so its
+    total becomes exactly ``denom``, with every symbol width >= 1.
+
+    Proportional flooring with a remaining-symbols budget: symbol ``i``'s
+    cumulative value is clamped into ``[p+1, denom - (n-1-i))]`` so that no
+    later symbol can be starved. Requires ``denom >= len(cdf)``.
+
+    This is the capability of the reference's ``fudged_dist``
+    (arith_code.py:83-93) as a standalone pure function; the arithmetic
+    coder applies it with ``denom`` = live interval width, and the rANS path
+    never needs it because quantized totals are powers of two matching the
+    coder precision (the reference's own observation at arith_code.py:41-43
+    that power-of-two denominators avoid recalculation).
+    """
+    n = len(cdf)
+    total = cdf[-1]
+    if denom < n:
+        raise ValueError(f"denom {denom} < alphabet size {n}: not codable")
+    if total == denom:
+        return cdf
+    out = [0] * n
+    p = 0
+    for i in range(n):
+        c = (cdf[i] * denom) // total
+        hi = denom - (n - 1 - i)
+        c = p + 1 if c <= p else (hi if c > hi else c)
+        out[i] = c
+        p = c
+    return out
+
+
+def quantize_logits_np(logits: np.ndarray, prob_bits: int) -> np.ndarray:
+    """Quantize float logits ``[..., V]`` to integer frequencies ``[..., V]``
+    summing exactly to ``2**prob_bits`` with every frequency >= 1.
+
+    Method: stable softmax in float32, scale to ``total - V`` (reserving the
+    +1 floor for every symbol), floor to int, then assign the rounding
+    residual to the argmax symbol — deterministic given identical logits.
+    """
+    v = logits.shape[-1]
+    total = 1 << prob_bits
+    if total < 2 * v:
+        raise ValueError(f"prob_bits {prob_bits} too small for vocab {v}")
+    x = logits.astype(np.float32)
+    x = x - x.max(axis=-1, keepdims=True)
+    p = np.exp(x)
+    budget = np.float32(total - v)
+    scale = budget / p.sum(axis=-1, keepdims=True, dtype=np.float32)
+    q = np.floor(p * scale).astype(np.int64)
+    freq = q + 1
+    residual = total - freq.sum(axis=-1, keepdims=True)
+    amax = np.argmax(freq, axis=-1)
+    np.put_along_axis(
+        freq, amax[..., None], np.take_along_axis(freq, amax[..., None], -1) + residual, -1
+    )
+    return freq
+
+
+def cdf_from_freq_np(freq: np.ndarray) -> np.ndarray:
+    """Exclusive-prefix CDF with a trailing total: shape ``[..., V+1]``,
+    ``cdf[..., 0] = 0``, ``cdf[..., -1] = total``. Integer, hence
+    deterministic on any backend."""
+    c = np.cumsum(freq, axis=-1)
+    zero = np.zeros_like(c[..., :1])
+    return np.concatenate([zero, c], axis=-1)
