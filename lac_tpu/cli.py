@@ -1,0 +1,91 @@
+"""Command-line interface: ``python -m lac_tpu compress|decompress|info|bench``.
+
+The reference has no CLI (SURVEY.md §0); this is the entry-point surface of
+the framework."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_compress(args) -> int:
+    from .runtime.engine import compress_bytes
+
+    data = open(args.file, "rb").read()
+    t0 = time.perf_counter()
+    out = compress_bytes(
+        data,
+        model_id=args.model,
+        block_size=args.block_size,
+        prob_bits=args.prob_bits,
+    )
+    dt = time.perf_counter() - t0
+    dst = args.output or args.file + ".lac"
+    with open(dst, "wb") as f:
+        f.write(out)
+    bpb = 8 * len(out) / max(1, len(data))
+    print(
+        f"{args.file}: {len(data)} -> {len(out)} bytes "
+        f"({bpb:.4f} bpb, {len(data) / dt / 1e6:.2f} MB/s) -> {dst}"
+    )
+    return 0
+
+
+def _cmd_decompress(args) -> int:
+    from .runtime.engine import decompress_bytes
+
+    data = open(args.file, "rb").read()
+    t0 = time.perf_counter()
+    out = decompress_bytes(data)
+    dt = time.perf_counter() - t0
+    dst = args.output or (
+        args.file[:-4] if args.file.endswith(".lac") else args.file + ".out"
+    )
+    with open(dst, "wb") as f:
+        f.write(out)
+    print(f"{args.file}: {len(data)} -> {len(out)} bytes ({len(out) / dt / 1e6:.2f} MB/s) -> {dst}")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from .stream.container import read_container
+
+    header, blocks = read_container(open(args.file, "rb").read())
+    total_payload = sum(len(b.payload) for b in blocks)
+    print(f"codec={header.codec} prob_bits={header.prob_bits} model={header.model_id}")
+    print(f"config={header.config}")
+    print(f"original_len={header.original_len} blocks={len(blocks)} payload={total_payload}B")
+    if header.original_len:
+        print(f"ratio={8 * total_payload / header.original_len:.4f} bpb (payload only)")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lac", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="compress FILE into a .lac container")
+    c.add_argument("file")
+    c.add_argument("-o", "--output")
+    c.add_argument("--model", default="order0", help="model id (see registry)")
+    c.add_argument("--block-size", type=int, default=1 << 16)
+    c.add_argument("--prob-bits", type=int, default=16)
+    c.set_defaults(fn=_cmd_compress)
+
+    d = sub.add_parser("decompress", help="decompress a .lac container")
+    d.add_argument("file")
+    d.add_argument("-o", "--output")
+    d.set_defaults(fn=_cmd_decompress)
+
+    i = sub.add_parser("info", help="show container metadata")
+    i.add_argument("file")
+    i.set_defaults(fn=_cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

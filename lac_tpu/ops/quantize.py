@@ -23,12 +23,17 @@ because both run the identical computation (SURVEY.md §2.5).
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
     "rescale_cdf",
     "quantize_logits_np",
     "cdf_from_freq_np",
+    "quantize_logits",
+    "cdf_from_freq",
+    "gather_intervals",
 ]
 
 
@@ -98,3 +103,50 @@ def cdf_from_freq_np(freq: np.ndarray) -> np.ndarray:
     c = np.cumsum(freq, axis=-1)
     zero = np.zeros_like(c[..., :1])
     return np.concatenate([zero, c], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Device (jax.numpy) implementations. Same operation order as the NumPy
+# versions; self-consistent between encode and decode because both run the
+# identical jitted computation on identical logits (SURVEY.md §2.5).
+# --------------------------------------------------------------------------
+
+
+def quantize_logits(logits: jax.Array, prob_bits: int) -> jax.Array:
+    """jnp mirror of quantize_logits_np: logits [..., V] -> int32 frequencies
+    summing exactly to 2**prob_bits, each >= 1. prob_bits <= 30 so the total
+    fits int32."""
+    v = logits.shape[-1]
+    total = 1 << prob_bits
+    if total < 2 * v or prob_bits > 30:
+        raise ValueError(f"prob_bits {prob_bits} unusable for vocab {v}")
+    x = logits.astype(jnp.float32)
+    x = x - jnp.max(x, axis=-1, keepdims=True)
+    p = jnp.exp(x)
+    budget = jnp.float32(total - v)
+    scale = budget / jnp.sum(p, axis=-1, keepdims=True)
+    q = jnp.floor(p * scale).astype(jnp.int32)
+    freq = q + 1
+    residual = total - jnp.sum(freq, axis=-1, keepdims=True)
+    amax = jnp.argmax(freq, axis=-1, keepdims=True)
+    bump = jnp.take_along_axis(freq, amax, -1) + residual
+    ar = jnp.arange(v, dtype=amax.dtype)
+    freq = jnp.where(ar == amax, bump, freq)
+    return freq
+
+
+def cdf_from_freq(freq: jax.Array) -> jax.Array:
+    """jnp mirror of cdf_from_freq_np (int32 exclusive-prefix CDF).
+    associative_scan instead of jnp.cumsum: XLA's reduce-window cumsum
+    allocates O(V) VMEM scratch that trips the 16MB scoped limit on TPU."""
+    c = jax.lax.associative_scan(jnp.add, freq.astype(jnp.int32), axis=-1)
+    zero = jnp.zeros_like(c[..., :1])
+    return jnp.concatenate([zero, c], axis=-1)
+
+
+def gather_intervals(cdf: jax.Array, syms: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-position coding intervals of known symbols (the encode side's
+    model->coder handoff): cdf [..., V+1], syms [...] int -> (cdf_lo, freq)."""
+    lo = jnp.take_along_axis(cdf, syms[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(cdf, syms[..., None] + 1, axis=-1)[..., 0]
+    return lo, hi - lo
