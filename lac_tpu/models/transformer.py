@@ -1,0 +1,292 @@
+"""Decoder-only transformer LM — the framework's inference engine.
+
+Replaces the reference's external llama.cpp dependency (its only native
+component, reached via ctypes: llama_compress.py:6-9,22-38) with a
+TPU-native implementation: pure functions over an explicit params pytree,
+jit/pjit-friendly, covering both GPT-2-style (learned positions, LayerNorm,
+GELU, biases) and Llama-style (RoPE, RMSNorm, SiLU-GLU, GQA, no biases)
+architectures via one config.
+
+Design rules (these are correctness constraints, not style):
+
+- **Every dtype is explicit.** Coder code runs under scoped x64; a single
+  weakly-typed ``jnp.arange`` would silently promote to f64/i64 and change
+  numerics between traces. Activations run in ``cfg.dtype``; logits are
+  always float32.
+- **Exact causal masking**: masked scores are set to -inf with ``where`` (not
+  a large negative), so masked positions contribute exactly zero after
+  softmax — a position's logits are bit-independent of future-token content
+  within the same compiled shape. This is what makes the prefill usable for
+  encode-side CDFs in fast-encode mode.
+- **Fixed shapes**: step (S=1) and prefill (S=W) are the only two shapes; the
+  encode and decode engines run the SAME compiled computation on the same
+  schedule, which is the determinism contract (SURVEY.md §2.5).
+- ``vocab + 1`` embedding rows: the last row is the BOS prior (the reference
+  primes with the Llama BOS token, llama_compress.py:20-23); the output head
+  has exactly ``vocab`` columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "LMConfig",
+    "init_params",
+    "init_cache",
+    "forward",
+    "GPT2_SMALL",
+    "TINYLLAMA_1B",
+    "LLAMA2_7B",
+    "LLAMA3_8B",
+    "tiny_config",
+]
+
+f32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class LMConfig:
+    vocab: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    d_ff: int
+    max_seq: int
+    pos_embedding: str = "rope"      # "rope" | "learned"
+    norm: str = "rmsnorm"            # "rmsnorm" | "layernorm"
+    act: str = "silu_glu"            # "silu_glu" | "gelu"
+    use_bias: bool = False
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+    rope_theta: float = 10000.0
+    norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def bos_id(self) -> int:
+        return self.vocab  # extra embedding row
+
+
+def tiny_config(vocab: int = 256, **kw) -> LMConfig:
+    """Small random-init model for tests and CI."""
+    defaults = dict(
+        vocab=vocab, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_ff=128, max_seq=128, dtype=jnp.float32,
+    )
+    defaults.update(kw)
+    return LMConfig(**defaults)
+
+
+# Architecture presets (dimensions per the public model cards; loaders in
+# hf_loader.py fill these from checkpoints when available).
+GPT2_SMALL = LMConfig(
+    vocab=50257, d_model=768, n_layers=12, n_heads=12, n_kv_heads=12,
+    d_ff=3072, max_seq=1024, pos_embedding="learned", norm="layernorm",
+    act="gelu", use_bias=True, tie_embeddings=True, dtype=jnp.bfloat16,
+)
+TINYLLAMA_1B = LMConfig(
+    vocab=32000, d_model=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+    d_ff=5632, max_seq=2048, dtype=jnp.bfloat16,
+)
+LLAMA2_7B = LMConfig(
+    vocab=32000, d_model=4096, n_layers=32, n_heads=32, n_kv_heads=32,
+    d_ff=11008, max_seq=4096, dtype=jnp.bfloat16,
+)
+LLAMA3_8B = LMConfig(
+    vocab=128256, d_model=4096, n_layers=32, n_heads=32, n_kv_heads=8,
+    d_ff=14336, max_seq=8192, dtype=jnp.bfloat16, rope_theta=500000.0,
+)
+
+
+# --------------------------------------------------------------------------
+# Parameters
+# --------------------------------------------------------------------------
+
+
+def init_params(cfg: LMConfig, key: jax.Array) -> dict:
+    """Random init (scaled normal). HF loaders overwrite these tensors."""
+    d, h, kvh, hd, ff = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.d_ff
+    keys = iter(jax.random.split(key, 4 + 16 * cfg.n_layers))
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, f32) / jnp.sqrt(f32(fan_in))).astype(cfg.dtype)
+
+    params: dict = {
+        "embed": dense(next(keys), 1, (cfg.vocab + 1, d)) * 0.02 * jnp.sqrt(f32(1)),
+        "final_norm": {"scale": jnp.ones((d,), cfg.dtype)},
+        "layers": [],
+    }
+    if cfg.pos_embedding == "learned":
+        params["pos_embed"] = dense(next(keys), 1, (cfg.max_seq, d)) * 0.01
+    if not cfg.tie_embeddings:
+        params["head"] = dense(next(keys), d, (d, cfg.vocab))
+    if cfg.norm == "layernorm":
+        params["final_norm"]["bias"] = jnp.zeros((d,), cfg.dtype)
+    for _ in range(cfg.n_layers):
+        layer = {
+            "ln1": {"scale": jnp.ones((d,), cfg.dtype)},
+            "ln2": {"scale": jnp.ones((d,), cfg.dtype)},
+            "wq": dense(next(keys), d, (d, h * hd)),
+            "wk": dense(next(keys), d, (d, kvh * hd)),
+            "wv": dense(next(keys), d, (d, kvh * hd)),
+            "wo": dense(next(keys), h * hd, (h * hd, d)),
+            "w_up": dense(next(keys), d, (d, ff)),
+            "w_down": dense(next(keys), ff, (ff, d)),
+        }
+        if cfg.act == "silu_glu":
+            layer["w_gate"] = dense(next(keys), d, (d, ff))
+        if cfg.norm == "layernorm":
+            layer["ln1"]["bias"] = jnp.zeros((d,), cfg.dtype)
+            layer["ln2"]["bias"] = jnp.zeros((d,), cfg.dtype)
+        if cfg.use_bias:
+            for name, width in [
+                ("bq", h * hd), ("bk", kvh * hd), ("bv", kvh * hd), ("bo", d),
+                ("b_up", ff), ("b_down", d),
+            ]:
+                layer[name] = jnp.zeros((width,), cfg.dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def init_cache(cfg: LMConfig, batch: int) -> dict:
+    """KV cache over the context window. ``pos`` is the shared write cursor
+    (all lanes run lock-step)."""
+    hd, kvh = cfg.head_dim, cfg.n_kv_heads
+    return {
+        "k": jnp.zeros((cfg.n_layers, batch, cfg.max_seq, kvh, hd), cfg.dtype),
+        "v": jnp.zeros((cfg.n_layers, batch, cfg.max_seq, kvh, hd), cfg.dtype),
+        "pos": jnp.zeros((), jnp.int32),
+    }
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def _norm(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
+    xf = x.astype(f32)
+    if cfg.norm == "rmsnorm":
+        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + f32(cfg.norm_eps))
+        return (xf * p["scale"].astype(f32)).astype(cfg.dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + f32(cfg.norm_eps))
+    return (xf * p["scale"].astype(f32) + p["bias"].astype(f32)).astype(cfg.dtype)
+
+
+def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
+    """Rotary embedding. x: [B, S, H, Dh]; positions: [S] int32."""
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = jnp.exp(
+        jnp.arange(0, half, dtype=f32) * (-jnp.log(f32(cfg.rope_theta)) * 2.0 / f32(hd))
+    )
+    ang = positions.astype(f32)[:, None] * freqs[None, :]  # [S, half]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., :half].astype(f32), x[..., half:].astype(f32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(cfg: LMConfig, layer_idx: int, p: dict, x: jax.Array, cache: dict):
+    b, s, d = x.shape
+    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    pos = cache["pos"]
+
+    def proj(w, bias_name, out_heads):
+        y = jnp.dot(x, p[w], preferred_element_type=f32).astype(cfg.dtype)
+        if cfg.use_bias:
+            y = y + p[bias_name]
+        return y.reshape(b, s, out_heads, hd)
+
+    q = proj("wq", "bq", h)
+    k = proj("wk", "bk", kvh)
+    v = proj("wv", "bv", kvh)
+
+    positions = pos + jnp.arange(s, dtype=jnp.int32)
+    if cfg.pos_embedding == "rope":
+        q = _rope(cfg, q, positions)
+        k = _rope(cfg, k, positions)
+
+    # indices must share one dtype even under scoped x64 (literal 0 would
+    # weakly promote to int64 there while pos is int32)
+    z = jnp.zeros((), jnp.int32)
+    ck = jax.lax.dynamic_update_slice(cache["k"][layer_idx], k, (z, pos, z, z))
+    cv = jax.lax.dynamic_update_slice(cache["v"][layer_idx], v, (z, pos, z, z))
+    new_k = cache["k"].at[layer_idx].set(ck)
+    new_v = cache["v"].at[layer_idx].set(cv)
+
+    # GQA: expand kv heads to query heads
+    rep = h // kvh
+    kk = jnp.repeat(ck, rep, axis=2)  # [B, W, H, Dh]
+    vv = jnp.repeat(cv, rep, axis=2)
+
+    scores = jnp.einsum("bshd,bwhd->bhsw", q.astype(f32), kk.astype(f32))
+    scores = scores * (f32(1.0) / jnp.sqrt(f32(hd)))
+    # causal + validity mask over absolute cache positions (exact -inf)
+    w_ids = jnp.arange(cfg.max_seq, dtype=jnp.int32)[None, None, None, :]
+    q_ids = positions[None, None, :, None]
+    mask = w_ids <= q_ids
+    scores = jnp.where(mask, scores, f32(-jnp.inf))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhsw,bwhd->bshd", probs, vv.astype(f32)).astype(cfg.dtype)
+    out = out.reshape(b, s, h * hd)
+    y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
+    if cfg.use_bias:
+        y = y + p["bo"]
+    return y, new_k, new_v
+
+
+def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
+    up = jnp.dot(x, p["w_up"], preferred_element_type=f32).astype(cfg.dtype)
+    if cfg.use_bias:
+        up = up + p["b_up"]
+    if cfg.act == "silu_glu":
+        gate = jnp.dot(x, p["w_gate"], preferred_element_type=f32)
+        up = (jax.nn.silu(gate) * up.astype(f32)).astype(cfg.dtype)
+    else:
+        up = jax.nn.gelu(up.astype(f32), approximate=True).astype(cfg.dtype)
+    y = jnp.dot(up, p["w_down"], preferred_element_type=f32).astype(cfg.dtype)
+    if cfg.use_bias:
+        y = y + p["b_down"]
+    return y
+
+
+def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict):
+    """Run S tokens through the model starting at cache position ``pos``.
+
+    tokens: [B, S] int32 (values in [0, vocab]; ``vocab`` = BOS row).
+    Returns (logits [B, S, vocab] float32, updated cache). S=1 is the decode
+    step; S=W is the (re)prime/prefill. Same function, same math, so the
+    step schedule — not the call style — determines the computation.
+    """
+    x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, D]
+    if cfg.pos_embedding == "learned":
+        s = tokens.shape[1]
+        positions = cache["pos"] + jnp.arange(s, dtype=jnp.int32)
+        x = x + params["pos_embed"][positions][None, :, :].astype(cfg.dtype)
+    new_cache = {"k": cache["k"], "v": cache["v"], "pos": cache["pos"]}
+    for i, layer in enumerate(params["layers"]):
+        h, nk, nv = _attention(cfg, i, layer, _norm(cfg, layer["ln1"], x), new_cache)
+        new_cache["k"], new_cache["v"] = nk, nv
+        x = x + h
+        x = x + _mlp(cfg, layer, _norm(cfg, layer["ln2"], x))
+    x = _norm(cfg, params["final_norm"], x)
+    if cfg.tie_embeddings:
+        wh = params["embed"][: cfg.vocab].T  # [D, V]
+    else:
+        wh = params["head"]
+    logits = jnp.dot(x.astype(f32), wh.astype(f32), preferred_element_type=f32)
+    new_cache["pos"] = cache["pos"] + jnp.int32(tokens.shape[1])
+    return logits, new_cache

@@ -1,0 +1,78 @@
+"""Sharding rules for the transformer params/cache/engine state.
+
+Megatron-style tensor parallelism over the ``model`` axis:
+
+- attention q/k/v projections: output (head) dim sharded; wo: input sharded
+  (the pair forms an all-reduce-once block — XLA inserts the psum);
+- MLP up/gate: output dim sharded; down: input dim sharded (same pattern);
+- embeddings, norms, head: replicated (byte-vocab heads are small; vocab
+  sharding is a later optimization for 128K vocabs);
+- KV cache: kv-head dim sharded over ``model``, lanes over ``data``;
+- coding lanes (tokens, rANS states, word buffers): sharded over ``data``.
+
+With these placements, sharding propagation under jit partitions every
+matmul on the MXU-friendly dims and rides ICI for the two per-layer
+all-reduces — the standard TP recipe.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["param_shardings", "shard_params", "cache_pspecs", "lane_pspec"]
+
+
+def param_pspecs(params: dict) -> dict:
+    """PartitionSpec tree matching models.transformer param trees."""
+
+    def layer_spec(layer: dict) -> dict:
+        spec = {}
+        for k in layer:
+            if k in ("wq", "wk", "wv", "w_up", "w_gate"):
+                spec[k] = P(None, "model")
+            elif k in ("wo", "w_down"):
+                spec[k] = P("model", None)
+            elif k in ("bq", "bk", "bv", "b_up"):
+                spec[k] = P("model")
+            else:  # norms, bo, b_down: replicated
+                spec[k] = P()
+        return spec
+
+    spec: dict = {
+        "embed": P(),
+        "final_norm": {k: P() for k in params["final_norm"]},
+        "layers": [layer_spec(l) for l in params["layers"]],
+    }
+    if "pos_embed" in params:
+        spec["pos_embed"] = P()
+    if "head" in params:
+        spec["head"] = P()
+    return spec
+
+
+def param_shardings(mesh: Mesh, params: dict) -> dict:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        param_pspecs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(mesh: Mesh, params: dict) -> dict:
+    """Place a param tree onto the mesh with TP shardings."""
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def cache_pspecs() -> dict:
+    # cache: k/v [L, B, W, KVH, Dh]; lanes over data, kv heads over model
+    return {
+        "k": P(None, "data", None, "model", None),
+        "v": P(None, "data", None, "model", None),
+        "pos": P(),
+    }
+
+
+def lane_pspec() -> P:
+    """Per-lane engine arrays ([B, ...]): sharded over data."""
+    return P("data")

@@ -1,0 +1,112 @@
+"""LM coding engine: lock-step batched encode/decode with a transformer
+predictor (the flagship path; reference llama_compress.py capability).
+
+Determinism contract (SURVEY.md §2.5): encoder and decoder run the SAME
+jitted step computation on the SAME shapes and the SAME schedule — one
+single-token forward per position, lock-step across B lanes. Given identical
+weights/framework/hardware, the float logits are identical on both sides, so
+the integer CDFs match bit-for-bit. The container carries a model fingerprint
+so a decoder on a different stack fails loudly instead of emitting garbage.
+
+Throughput model: decode is token-serial per stream (SURVEY.md §3.2), so all
+throughput comes from lane batching — B streams per step amortize the weight
+reads (HBM-bound, like LLM serving decode). The reference codes ONE stream
+per model forward; this engine codes B.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..coder.vector import _decode_step, _encode_scan, rans_decode_init
+from ..models.transformer import LMConfig, forward, init_cache
+from ..ops.quantize import cdf_from_freq, gather_intervals, quantize_logits
+from ..utils.jaxutil import x64
+
+__all__ = ["lm_encode", "lm_decode", "lm_fingerprint"]
+
+
+def _step_cdf(cfg: LMConfig, params, cache, prev, prob_bits: int):
+    """One lock-step model step: prev tokens [B] -> (cdf [B, V+1], cache)."""
+    logits, cache = forward(cfg, params, prev[:, None], cache)
+    freq = quantize_logits(logits[:, 0, :], prob_bits)
+    return cdf_from_freq(freq), cache
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _encode_intervals(cfg: LMConfig, params, tokens, lengths, prob_bits: int):
+    """Forward pass over all positions collecting the coded symbols'
+    (cdf_lo, freq). tokens [B, T] int32."""
+    b = tokens.shape[0]
+    cache = init_cache(cfg, b)
+    prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+
+    def step(carry, tok_t):
+        cache, prev = carry
+        cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
+        lo, f = gather_intervals(cdf, tok_t)
+        return (cache, tok_t), (lo.astype(jnp.int32), f.astype(jnp.int32))
+
+    (_, _), (lo, f) = lax.scan(step, (cache, prev0), tokens.T)
+    return lo.T, f.T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _decode_scan(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int):
+    b = words.shape[0]
+    cache = init_cache(cfg, b)
+    prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    rstate = rans_decode_init.__wrapped__(words)
+
+    def step(carry, t):
+        cache, prev, rstate = carry
+        cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
+        sym, rstate = _decode_step(rstate, cdf, prob_bits, t < lengths)
+        return (cache, sym, rstate), sym
+
+    ts = jnp.arange(t_len, dtype=jnp.int32)
+    _, syms = lax.scan(step, (cache, prev0, rstate), ts)
+    return syms.T
+
+
+_encode_rans = jax.jit(_encode_scan, static_argnums=(3, 4))
+
+
+@x64
+def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray, prob_bits: int):
+    """Encode B lanes of tokens ([B, T], T <= cfg.max_seq; model state resets
+    per lane/block). Returns (words [B, T+2] u32 decode-order, nwords [B])."""
+    if tokens.shape[1] > cfg.max_seq:
+        raise ValueError(f"block tokens {tokens.shape[1]} > context {cfg.max_seq}")
+    tokens = jnp.asarray(tokens, dtype=jnp.int32)
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
+    return _encode_rans(lo, f, lengths, prob_bits, tokens.shape[1] + 2)
+
+
+@x64
+def lm_decode(cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray, prob_bits: int, t_len: int):
+    if t_len > cfg.max_seq:
+        raise ValueError(f"block tokens {t_len} > context {cfg.max_seq}")
+    words = jnp.asarray(words, dtype=jnp.uint32)
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
+
+
+@x64
+def lm_fingerprint(cfg: LMConfig, params, prob_bits: int) -> int:
+    """Determinism fingerprint stored in the container: crc of the quantized
+    CDF of a fixed probe (BOS-primed first step, batch 1). A decoder whose
+    stack would produce different CDFs fails this check up front instead of
+    decoding garbage (SURVEY.md §2.5 hard part #1)."""
+    import zlib
+
+    cache = init_cache(cfg, 1)
+    prev = jnp.full((1,), cfg.bos_id, dtype=jnp.int32)
+    cdf, _ = jax.jit(_step_cdf, static_argnums=(0, 4))(cfg, params, cache, prev, prob_bits)
+    return zlib.crc32(np.asarray(cdf).tobytes())
