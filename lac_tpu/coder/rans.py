@@ -44,10 +44,20 @@ __all__ = [
     "rans_encode_np",
     "rans_decode_np",
     "encode_capacity",
+    "RANS32_L",
+    "rans32_encode_np",
+    "rans32_decode_np",
 ]
 
 RANS_L = 1 << 31
 _MASK32 = (1 << 32) - 1
+
+# rANS-32/16 variant (u32 state, 16-bit renorm words, prob_bits <= 16): the
+# in-kernel codec for byte-alphabet models — Pallas/Mosaic vector lanes are
+# 32-bit, so the u64 state of the primary codec doesn't fit there. Same
+# construction, same proofs (<=1 word in/out per symbol for prob_bits<=16).
+RANS32_L = 1 << 16
+_MASK16 = (1 << 16) - 1
 
 
 def encode_capacity(num_symbols: int) -> int:
@@ -73,6 +83,47 @@ def rans_encode_np(cdf_lo: np.ndarray, freq: np.ndarray, prob_bits: int) -> np.n
     words.append(x & _MASK32)
     words.append((x >> 32) & _MASK32)
     return np.array(words[::-1], dtype=np.uint32)
+
+
+def rans32_encode_np(cdf_lo: np.ndarray, freq: np.ndarray, prob_bits: int) -> np.ndarray:
+    """rANS-32/16 single-stream encode; returns uint16 words in decode order
+    (first two words are the final state: high 16, low 16)."""
+    assert 1 <= prob_bits <= 16
+    x = RANS32_L
+    words: list[int] = []
+    for t in range(len(freq) - 1, -1, -1):
+        f = int(freq[t])
+        lo = int(cdf_lo[t])
+        x_max = ((RANS32_L >> prob_bits) << 16) * f
+        if x >= x_max:
+            words.append(x & _MASK16)
+            x >>= 16
+        x = ((x // f) << prob_bits) + (x % f) + lo
+    words.append(x & _MASK16)
+    words.append((x >> 16) & _MASK16)
+    return np.array(words[::-1], dtype=np.uint16)
+
+
+def rans32_decode_np(
+    words: np.ndarray, num_symbols: int, cdf_provider, prob_bits: int
+) -> list[int]:
+    """rANS-32/16 single-stream decode (mirror of rans_decode_np)."""
+    assert 1 <= prob_bits <= 16
+    mask = (1 << prob_bits) - 1
+    x = (int(words[0]) << 16) | int(words[1])
+    pos = 2
+    out: list[int] = []
+    for _t in range(num_symbols):
+        cdf = cdf_provider(_t, out)
+        slot = x & mask
+        s = int(np.searchsorted(cdf, slot, side="right")) - 1
+        f = int(cdf[s + 1]) - int(cdf[s])
+        x = f * (x >> prob_bits) + slot - int(cdf[s])
+        if x < RANS32_L:
+            x = (x << 16) | int(words[pos])
+            pos += 1
+        out.append(s)
+    return out
 
 
 def rans_decode_np(

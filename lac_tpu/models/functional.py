@@ -28,7 +28,19 @@ from typing import Any
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["ScanModel", "Order0Scan", "MarkovScan"]
+__all__ = [
+    "ScanModel",
+    "Order0Scan",
+    "MarkovScan",
+    "Order0Decay",
+    "MarkovDecay",
+    "Order0CDF",
+    "MarkovCDF",
+    "CDF_STATE_BITS",
+    "cdf_state_init",
+    "cdf_state_to_coder",
+    "cdf_state_update",
+]
 
 
 def _cumsum(x: jnp.ndarray) -> jnp.ndarray:
@@ -112,3 +124,197 @@ class MarkovScan(ScanModel):
         lane = jnp.arange(b)
         counts = counts.at[lane, prev, syms].add(1)
         return (counts, syms)
+
+
+# --------------------------------------------------------------------------
+# Decay models: division-free adaptive predictors.
+#
+# The counts-based models above need an integer rescale (a division per CDF
+# entry) because their totals grow. On TPU, 64-bit divides are emulated at
+# ~50+ ops each — the measured hot cost of the whole byte path. The decay
+# models keep the frequency table summing to EXACTLY 2**prob_bits as an
+# invariant, so the table IS the coder CDF: no rescale, no division, int32
+# only. Update rule (exponential forgetting, like context-mixing coders):
+#
+#     dec_i  = max(freq_i >> rate, min(freq_i - 1, 1))   # >=0, keeps freq>=1
+#     freq  <- freq - dec + onehot(sym) * sum(dec)        # total preserved
+#
+# Forgetting also adapts to local statistics, which usually *beats* pure
+# counts on real data. ``rate`` trades adaptation speed vs noise.
+# --------------------------------------------------------------------------
+
+
+def _uniform_pow2(batch: int, v: int, total: int) -> jnp.ndarray:
+    base, rem = divmod(total, v)
+    if base < 1:
+        raise ValueError(f"prob_bits too small for vocab {v}")
+    row = jnp.full((v,), base, dtype=jnp.int32).at[:rem].add(1)
+    return jnp.broadcast_to(row, (batch, v))
+
+
+def _decay_update(freq: jnp.ndarray, syms: jnp.ndarray, rate: int, v: int):
+    dec = jnp.maximum(freq >> rate, jnp.minimum(freq - 1, 1))
+    # dtype pinned: jnp.sum would promote i32 -> i64 under the coder's x64
+    inc = jnp.sum(dec, axis=-1, keepdims=True, dtype=jnp.int32)
+    onehot = (jnp.arange(v, dtype=jnp.int32)[None, :] == syms[:, None])
+    return freq - dec + onehot.astype(jnp.int32) * inc
+
+
+def _freq_to_cdf(freq: jnp.ndarray) -> jnp.ndarray:
+    c = _cumsum(freq)
+    return jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+
+
+@dataclass(frozen=True)
+class Order0Decay(ScanModel):
+    """Division-free adaptive order-0 model (the fast byte-path default)."""
+
+    rate: int = 4
+
+    def init_state(self, batch: int):
+        return _uniform_pow2(batch, self.vocab, 1 << self.prob_bits)
+
+    def cdf(self, state):
+        return _freq_to_cdf(state)
+
+    def update(self, state, syms):
+        return _decay_update(state, syms, self.rate, self.vocab)
+
+
+@dataclass(frozen=True)
+class MarkovDecay(ScanModel):
+    """Division-free adaptive order-1 model: one decay table per previous
+    symbol. State: (freq [B, V, V] int32, prev [B] int32)."""
+
+    rate: int = 4
+
+    def init_state(self, batch: int):
+        freq = _uniform_pow2(batch * self.vocab, self.vocab, 1 << self.prob_bits)
+        return (freq.reshape(batch, self.vocab, self.vocab), jnp.zeros((batch,), jnp.int32))
+
+    def cdf(self, state):
+        freq, prev = state
+        row = jnp.take_along_axis(freq, prev[:, None, None], axis=1)[:, 0, :]
+        return _freq_to_cdf(row)
+
+    def update(self, state, syms):
+        freq, prev = state
+        row = jnp.take_along_axis(freq, prev[:, None, None], axis=1)[:, 0, :]
+        row = _decay_update(row, syms, self.rate, self.vocab)
+        b = freq.shape[0]
+        freq = freq.at[jnp.arange(b), prev].set(row)
+        return (freq, syms)
+
+
+# --------------------------------------------------------------------------
+# Shift-to-target CDF models (the Pallas-kernel byte-path models).
+#
+# The state IS the CDF: interior boundaries state[k] (k = 1..V-1, endpoints
+# 0 and 2**15 implicit), total fixed at 2**15 forever. Adaptation moves each
+# boundary toward the one-hot CDF of the observed symbol by a power-of-two
+# step (the AV1/Daala entropy-coder adaptation family):
+#
+#     k <= s:  state[k] -= state[k] >> rate        (toward 0)
+#     k >  s:  state[k] += (2**15 - state[k]) >> rate  (toward total)
+#
+# which preserves monotonicity and the total exactly. Zero widths are
+# allowed in the state; the coder map restores the >=1-width guarantee
+# without any division because the state total is a power of two:
+#
+#     eff[j] = (state[j] * (2**prob_bits - V)) >> 15 + j      (j = 0..V)
+#
+# No cumsum (state is already cumulative), no division, no gather — every
+# per-step op is an elementwise mask/shift/reduce, which is exactly what a
+# fused Pallas decode kernel wants. Max product 2**15 * (2**16 - V) < 2**31
+# keeps everything in int32 (requires prob_bits <= 16).
+# --------------------------------------------------------------------------
+
+CDF_STATE_BITS = 15
+_CDF_TOTAL = 1 << CDF_STATE_BITS
+
+
+def cdf_state_init(batch: int, v: int) -> jnp.ndarray:
+    """Uniform initial state: [B, V+1] int32 with fixed endpoints."""
+    j = jnp.arange(v + 1, dtype=jnp.int32)
+    row = (j * _CDF_TOTAL) // v
+    return jnp.broadcast_to(row, (batch, v + 1))
+
+
+def cdf_state_to_coder(state: jnp.ndarray, prob_bits: int, v: int) -> jnp.ndarray:
+    """[B, V+1] state -> [B, V+1] coder CDF with total 2**prob_bits and
+    every width >= 1 (multiply + shift + iota, division-free)."""
+    m = jnp.int32((1 << prob_bits) - v)
+    j = jnp.arange(v + 1, dtype=jnp.int32)
+    return ((state * m) >> CDF_STATE_BITS) + j
+
+
+def cdf_state_update(state: jnp.ndarray, syms: jnp.ndarray, rate, v: int):
+    """Move boundaries toward the observed symbol's one-hot CDF."""
+    k = jnp.arange(v + 1, dtype=jnp.int32)[None, :]
+    toward_zero = state - (state >> rate)
+    toward_total = state + ((_CDF_TOTAL - state) >> rate)
+    return jnp.where(k <= syms[:, None], toward_zero, toward_total)
+
+
+def adaptive_rate(base_rate, step):
+    """AV1-style rate schedule: adapt fast on a cold model, slow down as the
+    block ages so a converged model stops chasing noise (the fixed-rate
+    variant expands incompressible data ~1.5x; this bounds it near 1.0)."""
+    step = jnp.asarray(step, dtype=jnp.int32)
+    bump = (
+        (step >= 16).astype(jnp.int32)
+        + (step >= 32).astype(jnp.int32)
+        + (step >= 64).astype(jnp.int32)
+        + (step >= 128).astype(jnp.int32)
+    )
+    return base_rate + bump
+
+
+@dataclass(frozen=True)
+class Order0CDF(ScanModel):
+    """Adaptive order-0 shift-to-target model (fast byte-path default).
+    State carries a step counter driving the adaptive rate schedule."""
+
+    rate: int = 4
+
+    def init_state(self, batch: int):
+        return (cdf_state_init(batch, self.vocab), jnp.zeros((), jnp.int32))
+
+    def cdf(self, state):
+        return cdf_state_to_coder(state[0], self.prob_bits, self.vocab)
+
+    def update(self, state, syms):
+        cdf, step = state
+        r = adaptive_rate(self.rate, step)
+        return (cdf_state_update(cdf, syms, r, self.vocab), step + 1)
+
+
+@dataclass(frozen=True)
+class MarkovCDF(ScanModel):
+    """Order-1 shift-to-target model: one CDF state row per previous symbol,
+    with a per-context maturity counter driving the rate schedule."""
+
+    rate: int = 4
+
+    def init_state(self, batch: int):
+        row = cdf_state_init(1, self.vocab)[0]
+        table = jnp.broadcast_to(row, (batch, self.vocab, self.vocab + 1))
+        counts = jnp.zeros((batch, self.vocab), jnp.int32)
+        return (table, jnp.zeros((batch,), jnp.int32), counts)
+
+    def cdf(self, state):
+        table, prev, _counts = state
+        row = jnp.take_along_axis(table, prev[:, None, None], axis=1)[:, 0, :]
+        return cdf_state_to_coder(row, self.prob_bits, self.vocab)
+
+    def update(self, state, syms):
+        table, prev, counts = state
+        row = jnp.take_along_axis(table, prev[:, None, None], axis=1)[:, 0, :]
+        cnt = jnp.take_along_axis(counts, prev[:, None], axis=1)  # [B, 1]
+        r = adaptive_rate(self.rate, cnt)  # per-lane rate column
+        row = cdf_state_update(row, syms, r, self.vocab)
+        b = table.shape[0]
+        lane = jnp.arange(b)
+        table = table.at[lane, prev].set(row)
+        counts = counts.at[lane, prev].add(1)
+        return (table, syms, counts)

@@ -6,11 +6,23 @@ container header — the config surface the reference never had (SURVEY.md §5
 
 from __future__ import annotations
 
-from .functional import MarkovScan, Order0Scan, ScanModel
+from .functional import (
+    MarkovCDF,
+    MarkovDecay,
+    MarkovScan,
+    Order0CDF,
+    Order0Decay,
+    Order0Scan,
+    ScanModel,
+)
 
 _SCAN_MODELS = {
     "order0": Order0Scan,
     "markov1": MarkovScan,
+    "order0d": Order0Decay,
+    "markov1d": MarkovDecay,
+    "order0c": Order0CDF,
+    "markov1c": MarkovCDF,
 }
 
 

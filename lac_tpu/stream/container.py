@@ -29,7 +29,8 @@ MAGIC = b"LACU"
 VERSION = 1
 
 CODEC_ORACLE_AC = 0
-CODEC_RANS64 = 1
+CODEC_RANS64 = 1   # u64 state, u32 words (LM path / XLA scan path)
+CODEC_RANS32 = 2   # u32 state, u16 words (fused Pallas byte path)
 
 
 @dataclass

@@ -1,0 +1,118 @@
+"""Pallas byte-path kernels vs the NumPy rANS-32/16 spec and the functional
+shift-to-target model — run in interpret mode on CPU; the same code compiles
+on TPU (exercised by bench/verify)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lac_tpu.coder.rans import rans32_decode_np, rans32_encode_np
+from lac_tpu.models.functional import (
+    CDF_STATE_BITS,
+    adaptive_rate,
+    cdf_state_init,
+    cdf_state_to_coder,
+    cdf_state_update,
+)
+from lac_tpu.ops.pallas_rans import (
+    compact_words,
+    o0c_encode_intervals,
+    o0c_rans32_decode,
+    rans32_encode_dense,
+)
+
+V, PB, RATE = 256, 16, 4
+
+
+def ref_intervals(syms_row):
+    """Oracle (lo, freq) per position from the functional model, batch 1."""
+    state = cdf_state_init(1, V)
+    los, frs = [], []
+    for t, s in enumerate(syms_row):
+        cdf = np.asarray(cdf_state_to_coder(state, PB, V))[0]
+        los.append(int(cdf[s]))
+        frs.append(int(cdf[s + 1]) - int(cdf[s]))
+        state = cdf_state_update(
+            state, jnp.asarray([int(s)], dtype=jnp.int32), adaptive_rate(RATE, t), V
+        )
+    return np.array(los), np.array(frs)
+
+
+class TestIntervalKernel:
+    def test_matches_functional_model(self):
+        rng = np.random.default_rng(0)
+        b, t_len = 4, 256
+        syms = rng.integers(0, V, (t_len, b)).astype(np.int32)
+        lo, fr = o0c_encode_intervals(jnp.asarray(syms), V, PB, RATE)
+        lo, fr = np.asarray(lo), np.asarray(fr)
+        for lane in range(b):
+            rl, rf = ref_intervals(syms[:, lane])
+            assert (lo[:, lane] == rl).all(), f"lane {lane} lo"
+            assert (fr[:, lane] == rf).all(), f"lane {lane} freq"
+
+
+class TestEncodeKernel:
+    def test_bitstream_matches_numpy_spec(self):
+        rng = np.random.default_rng(1)
+        b, t_len = 4, 256
+        lengths = np.array([256, 3, 100, 256], dtype=np.int32)
+        syms = rng.integers(0, V, (t_len, b)).astype(np.int32)
+        lo, fr = o0c_encode_intervals(jnp.asarray(syms), V, PB, RATE)
+        dense, xfin = rans32_encode_dense(lo, fr, jnp.asarray(lengths)[None, :], PB)
+        words, nwords = compact_words(dense, xfin, t_len + 2)
+        words, nwords = np.asarray(words), np.asarray(nwords)
+        lo, fr = np.asarray(lo), np.asarray(fr)
+        for lane in range(b):
+            n = lengths[lane]
+            ref = rans32_encode_np(lo[:n, lane], fr[:n, lane], PB)
+            assert nwords[lane] == len(ref), f"lane {lane} nwords"
+            assert (words[lane, : len(ref)] == ref.astype(np.uint32)).all(), f"lane {lane}"
+
+
+class TestFusedDecode:
+    @pytest.mark.parametrize("pattern", ["random", "skewed"])
+    def test_roundtrip(self, pattern):
+        rng = np.random.default_rng(2)
+        b, t_len = 4, 256
+        lengths = np.array([256, 1, 137, 256], dtype=np.int32)
+        if pattern == "random":
+            syms = rng.integers(0, V, (t_len, b)).astype(np.int32)
+        else:
+            syms = (rng.integers(0, 4, (t_len, b)) * 17).astype(np.int32)
+        lo, fr = o0c_encode_intervals(jnp.asarray(syms), V, PB, RATE)
+        dense, xfin = rans32_encode_dense(lo, fr, jnp.asarray(lengths)[None, :], PB)
+        words, nwords = compact_words(dense, xfin, t_len + 2)
+        decoded = np.asarray(
+            o0c_rans32_decode(words, jnp.asarray(lengths), t_len, V, PB, RATE)
+        )
+        for lane in range(b):
+            n = lengths[lane]
+            assert (decoded[:n, lane] == syms[:n, lane]).all(), f"lane {lane}"
+
+    def test_decode_matches_numpy_spec_decoder(self):
+        """The fused kernel must agree with the NumPy spec decoder driven by
+        the same model — validates coder/model interleaving, not just
+        inverse-of-our-own-encoder."""
+        rng = np.random.default_rng(3)
+        t_len = 128
+        syms = rng.integers(0, V, (t_len, 1)).astype(np.int32)
+        lo, fr = o0c_encode_intervals(jnp.asarray(syms), V, PB, RATE)
+        dense, xfin = rans32_encode_dense(
+            lo, fr, jnp.asarray(np.array([[t_len]], np.int32)), PB
+        )
+        words, nwords = compact_words(dense, xfin, t_len + 2)
+        state_holder = {"state": cdf_state_init(1, V)}
+
+        def cdf_provider(t, out):
+            if t > 0:
+                state_holder["state"] = cdf_state_update(
+                    state_holder["state"],
+                    jnp.asarray([out[-1]], dtype=jnp.int32),
+                    adaptive_rate(RATE, t - 1), V,
+                )
+            return np.asarray(cdf_state_to_coder(state_holder["state"], PB, V))[0]
+
+        ref = rans32_decode_np(np.asarray(words)[0], t_len, cdf_provider, PB)
+        assert ref == list(syms[:, 0])

@@ -1,0 +1,48 @@
+"""Turbo engine (fused Pallas byte path, codec 2) end-to-end tests —
+interpret mode on CPU; compiled on TPU by bench/verify."""
+
+import numpy as np
+import pytest
+
+from lac_tpu.runtime.engine import compress_bytes, decompress_bytes
+from lac_tpu.runtime.turbo import turbo_compress, turbo_decompress
+from lac_tpu.stream.container import read_container
+
+
+def _text(n: int) -> bytes:
+    rng = np.random.default_rng(0)
+    words = [b"turbo", b"entropy", b"kernel", b"vmem", b"lanes", b"shift"]
+    out = bytearray()
+    while len(out) < n:
+        out += words[rng.integers(len(words))] + b" "
+    return bytes(out[:n])
+
+
+def test_roundtrip_exact():
+    data = _text(10000)
+    c = turbo_compress(data, block_size=1024)
+    assert turbo_decompress(c) == data
+    assert len(c) < len(data)
+
+
+@pytest.mark.parametrize("n", [0, 1, 255, 1024, 1025, 5000])
+def test_roundtrip_sizes(n):
+    data = _text(n)
+    c = turbo_compress(data, block_size=1024)
+    assert turbo_decompress(c) == data
+
+
+def test_engine_dispatch():
+    data = _text(4000)
+    c = compress_bytes(data, model_id="order0c", block_size=1024)
+    header, _ = read_container(c)
+    assert header.codec == 2 and header.model_id == "order0c"
+    assert decompress_bytes(c) == data
+
+
+def test_incompressible():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    c = turbo_compress(data, block_size=1024)
+    assert turbo_decompress(c) == data
+    assert len(c) < len(data) * 1.05
