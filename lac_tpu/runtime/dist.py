@@ -1,0 +1,126 @@
+"""Distributed (multi-host) compress/decompress on top of the turbo path.
+
+Every process codes its contiguous span of blocks on its local devices;
+payloads are allgathered in block order; the container is identical on
+every host (and identical to the single-process container — bitstreams are
+host-count-invariant, SURVEY.md §7 hard part #6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_rans import (
+    compact_words,
+    o0c_encode_intervals,
+    o0c_rans32_decode,
+    rans32_encode_dense,
+)
+from ..parallel.distributed import allgather_blocks, my_block_span
+from ..stream.container import (
+    CODEC_RANS32,
+    BlockEntry,
+    ContainerHeader,
+    read_container,
+    write_container,
+)
+
+__all__ = ["compress_distributed", "decompress_distributed"]
+
+_PB = 16
+
+
+def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: int):
+    """Encode blocks [start, end) of the byte array; returns payload list."""
+    n = len(arr)
+    nblk = end - start
+    if nblk <= 0:
+        return []
+    syms = np.zeros((block_size, nblk), dtype=np.int32)
+    lengths = np.zeros((nblk,), dtype=np.int32)
+    for j in range(nblk):
+        chunk = arr[(start + j) * block_size : (start + j + 1) * block_size]
+        syms[: len(chunk), j] = chunk
+        lengths[j] = len(chunk)
+    lo, fr = o0c_encode_intervals(jnp.asarray(syms), 256, _PB, rate)
+    dense, xfin = rans32_encode_dense(lo, fr, jnp.asarray(lengths)[None, :], _PB)
+    words, nwords = compact_words(dense, xfin, block_size + 2)
+    words, nwords = np.asarray(words), np.asarray(nwords)
+    out = []
+    for j in range(nblk):
+        payload = words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
+        raw = syms[: lengths[j], j].astype(np.uint8).tobytes()
+        if len(payload) >= len(raw) and len(raw) > 0:
+            out.append((int(lengths[j]), 0, raw))
+        else:
+            out.append((int(lengths[j]), int(lengths[j]), payload))
+    return out
+
+
+def compress_distributed(data: bytes, block_size: int = 1024, rate: int = 4) -> bytes:
+    """All processes call this with the same data; returns the container
+    (identical on every process)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nblocks = max(1, -(-len(data) // block_size))
+    start, end = my_block_span(nblocks)
+    mine = _encode_span(arr, start, end, block_size, rate)
+    # serialize (raw_len, token_count, payload) triplets for the gather
+    packed = [
+        raw_len.to_bytes(4, "little") + tc.to_bytes(4, "little") + pl
+        for raw_len, tc, pl in mine
+    ]
+    gathered = allgather_blocks(packed, nblocks)
+    blocks = []
+    for buf in gathered:
+        raw_len = int.from_bytes(buf[:4], "little")
+        tc = int.from_bytes(buf[4:8], "little")
+        blocks.append(BlockEntry(raw_len, tc, buf[8:]))
+    header = ContainerHeader(
+        codec=CODEC_RANS32,
+        prob_bits=_PB,
+        model_id="order0c",
+        config={"block_size": block_size, "rate": rate},
+        original_len=len(data),
+    )
+    return write_container(header, blocks)
+
+
+def decompress_distributed(container: bytes) -> bytes:
+    """Each process decodes its span; output bytes are allgathered in order
+    (identical result on every process)."""
+    header, blocks = read_container(container)
+    block_size = header.config["block_size"]
+    rate = header.config["rate"]
+    nblocks = len(blocks)
+    start, end = my_block_span(nblocks)
+    outs: list[bytes] = []
+    span = blocks[start:end]
+    coded = [b for b in span if not (b.token_count == 0 and b.raw_len > 0)]
+    if coded:
+        cap = block_size + 2
+        words = np.zeros((len(coded), cap), dtype=np.uint32)
+        lengths = np.zeros((len(coded),), dtype=np.int32)
+        for j, blk in enumerate(coded):
+            w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
+            words[j, : len(w)] = w
+            lengths[j] = blk.token_count
+        syms = np.asarray(
+            o0c_rans32_decode(
+                jnp.asarray(words), jnp.asarray(lengths), block_size, 256, _PB, rate
+            )
+        )
+    ci = 0
+    for blk in span:
+        if blk.token_count == 0 and blk.raw_len > 0:
+            outs.append(blk.payload)
+        else:
+            outs.append(syms[: blk.token_count, ci].astype(np.uint8).tobytes())
+            ci += 1
+    gathered = allgather_blocks(outs, nblocks)
+    out = b"".join(gathered)
+    if len(out) != header.original_len:
+        raise ValueError("decoded length mismatch")
+    return out

@@ -28,7 +28,14 @@ from ..models.transformer import LMConfig, forward, init_cache
 from ..ops.quantize import cdf_from_freq, gather_intervals, quantize_logits
 from ..utils.jaxutil import x64
 
-__all__ = ["lm_encode", "lm_decode", "lm_fingerprint"]
+__all__ = [
+    "lm_encode",
+    "lm_decode",
+    "lm_fingerprint",
+    "lm_encode_windowed",
+    "lm_decode_windowed",
+    "window_schedule",
+]
 
 
 def _step_cdf(cfg: LMConfig, params, cache, prev, prob_bits: int):
@@ -96,6 +103,154 @@ def lm_decode(cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray, pro
     words = jnp.asarray(words, dtype=jnp.uint32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
+
+
+# --------------------------------------------------------------------------
+# Sliding-window mode: blocks longer than the model context.
+#
+# Deterministic re-prime policy with the reference's semantics
+# (llama_compress.py:31-39): when the KV cache fills, keep the most recent
+# ``window - window//overlap`` tokens, rebuild the cache by prefilling them
+# (positions re-based to 0..keep-1), and continue stepping. The schedule
+# depends only on (t_len, window, overlap), so encoder and decoder replay
+# the identical sequence of fixed-shape computations — the same-schedule
+# determinism contract extended across re-primes. The re-prime prefill's
+# last-position logits code the next token (no step is wasted).
+# --------------------------------------------------------------------------
+
+
+def window_schedule(t_len: int, window: int, overlap: int = 2):
+    """Segments of the windowed run: [(t0, steps, reprime_before)]."""
+    keep = window - window // overlap
+    if keep < 1 or keep >= window:
+        raise ValueError(f"bad window/overlap: {window}/{overlap}")
+    segs = []
+    pos = 0
+    first = True
+    while pos < t_len:
+        if first:
+            steps = min(window, t_len - pos)
+            segs.append((pos, steps, False))
+            first = False
+        else:
+            # re-prime codes 1 token; then step the rest of the refilled room
+            steps = min(window - keep, t_len - pos)
+            segs.append((pos, steps, True))
+        pos += steps
+    return segs, keep
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _seg_intervals(cfg: LMConfig, params, cache, prev, tokens_seg, prob_bits: int, steps: int):
+    """Scan `steps` single-token steps; tokens_seg [B, steps]."""
+
+    def step(carry, tok_t):
+        cache, prev = carry
+        cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
+        lo, f = gather_intervals(cdf, tok_t)
+        return (cache, tok_t), (lo.astype(jnp.int32), f.astype(jnp.int32))
+
+    (cache, prev), (lo, f) = lax.scan(step, (cache, prev), tokens_seg.T)
+    return cache, prev, lo.T, f.T
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _reprime_cdf(cfg: LMConfig, params, kept_tokens, prob_bits: int):
+    """Fresh cache, prefill kept tokens, return (cdf for the next token,
+    cache)."""
+    b = kept_tokens.shape[0]
+    cache = init_cache(cfg, b)
+    logits, cache = forward(cfg, params, kept_tokens, cache)
+    freq = quantize_logits(logits[:, -1, :], prob_bits)
+    return cdf_from_freq(freq), cache
+
+
+@x64
+def lm_encode_windowed(
+    cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
+    prob_bits: int, overlap: int = 2,
+):
+    """Encode lanes of arbitrary length with sliding-window re-priming."""
+    tokens = jnp.asarray(tokens, dtype=jnp.int32)
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    b, t_len = tokens.shape
+    if t_len <= cfg.max_seq:
+        lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
+        return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
+    segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
+    cache = init_cache(cfg, b)
+    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    los, fs = [], []
+    for t0, steps, reprime in segs:
+        if reprime:
+            kept = lax.dynamic_slice(tokens, (0, t0 - keep), (b, keep))
+            cdf, cache = _reprime_cdf(cfg, params, kept, prob_bits)
+            tok0 = tokens[:, t0]
+            lo0, f0 = gather_intervals(cdf, tok0)
+            los.append(lo0.astype(jnp.int32)[:, None])
+            fs.append(f0.astype(jnp.int32)[:, None])
+            prev = tok0
+            t0, steps = t0 + 1, steps - 1
+            if steps == 0:
+                continue
+        seg_toks = lax.dynamic_slice(tokens, (0, t0), (b, steps))
+        cache, prev, lo, f = _seg_intervals(cfg, params, cache, prev, seg_toks, prob_bits, steps)
+        los.append(lo)
+        fs.append(f)
+    lo = jnp.concatenate(los, axis=1)
+    f = jnp.concatenate(fs, axis=1)
+    return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def _seg_decode(cfg: LMConfig, params, cache, prev, rstate, prob_bits: int, steps: int, t0, lengths):
+    def step(carry, i):
+        cache, prev, rstate = carry
+        cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
+        sym, rstate = _decode_step(rstate, cdf, prob_bits, (t0 + i) < lengths)
+        return (cache, sym, rstate), sym
+
+    (cache, prev, rstate), syms = lax.scan(
+        step, (cache, prev, rstate), jnp.arange(steps, dtype=jnp.int32)
+    )
+    return cache, prev, rstate, syms.T
+
+
+@x64
+def lm_decode_windowed(
+    cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
+    prob_bits: int, t_len: int, overlap: int = 2,
+):
+    words = jnp.asarray(words, dtype=jnp.uint32)
+    lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    if t_len <= cfg.max_seq:
+        return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
+    b = words.shape[0]
+    segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
+    cache = init_cache(cfg, b)
+    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    rstate = rans_decode_init.__wrapped__(words)
+    out = jnp.zeros((b, 0), dtype=jnp.int32)
+    for t0, steps, reprime in segs:
+        if reprime:
+            kept = lax.dynamic_slice(out, (0, t0 - keep), (b, keep))
+            cdf, cache = _reprime_cdf(cfg, params, kept, prob_bits)
+            sym, rstate = _decode_step_jit(
+                rstate, cdf, prob_bits, jnp.full((b,), t0, jnp.int32) < lengths
+            )
+            out = jnp.concatenate([out, sym[:, None]], axis=1)
+            prev = sym
+            t0, steps = t0 + 1, steps - 1
+            if steps == 0:
+                continue
+        cache, prev, rstate, syms = _seg_decode(
+            cfg, params, cache, prev, rstate, prob_bits, steps, jnp.int32(t0), lengths
+        )
+        out = jnp.concatenate([out, syms], axis=1)
+    return out
+
+
+_decode_step_jit = jax.jit(_decode_step, static_argnums=(2,))
 
 
 @x64

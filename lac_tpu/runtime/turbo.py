@@ -34,7 +34,7 @@ __all__ = ["turbo_compress", "turbo_decompress", "MAX_WAVE"]
 
 MAX_WAVE = 2048  # lanes per kernel invocation (VMEM bound at T=1024)
 _DEFAULT_BLOCK = 1024
-_DEFAULT_RATE = 5
+_DEFAULT_RATE = 4  # base of the adaptive schedule (must match dist/bench)
 _PB = 16
 
 

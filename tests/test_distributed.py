@@ -1,0 +1,89 @@
+"""Multi-process driver tests: 2 CPU processes via jax.distributed must
+produce a container byte-identical to the single-process one
+(host-count-invariant bitstreams, SURVEY.md §7 hard part #6), and the
+distributed decode must round-trip."""
+
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from lac_tpu.runtime.dist import compress_distributed, decompress_distributed
+
+
+def _text(n: int) -> bytes:
+    rng = np.random.default_rng(0)
+    words = [b"dist", b"ordered", b"gather", b"hosts", b"blocks", b"spans"]
+    out = bytearray()
+    while len(out) < n:
+        out += words[rng.integers(len(words))] + b" "
+    return bytes(out[:n])
+
+
+def test_single_process_matches_turbo():
+    from lac_tpu.runtime.turbo import turbo_compress
+
+    data = _text(6000)
+    c1 = compress_distributed(data, block_size=1024)
+    c2 = turbo_compress(data, block_size=1024)
+    assert c1 == c2
+    assert decompress_distributed(c1) == data
+
+
+WORKER = textwrap.dedent(
+    """
+    import sys, os
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address="localhost:" + port, num_processes=2, process_id=pid
+    )
+    import numpy as np
+    from lac_tpu.runtime.dist import compress_distributed, decompress_distributed
+    rng = np.random.default_rng(0)
+    words = [b"dist", b"ordered", b"gather", b"hosts", b"blocks", b"spans"]
+    data = bytearray()
+    while len(data) < 6000:
+        data += words[rng.integers(len(words))] + b" "
+    data = bytes(data[:6000])
+    c = compress_distributed(data, block_size=1024)
+    assert decompress_distributed(c) == data, "distributed round-trip failed"
+    if pid == 0:
+        open(out, "wb").write(c)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_container_identical(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.format(repo="/root/repo"))
+    out = tmp_path / "container.bin"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port), str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    data = _text(6000)
+    single = compress_distributed(data, block_size=1024)
+    assert out.read_bytes() == single
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
