@@ -11,16 +11,27 @@ import time
 
 
 def _cmd_compress(args) -> int:
-    from .runtime.engine import compress_bytes
-
     data = open(args.file, "rb").read()
     t0 = time.perf_counter()
-    out = compress_bytes(
-        data,
-        model_id=args.model,
-        block_size=args.block_size,
-        prob_bits=args.prob_bits,
-    )
+    if args.model == "lm":
+        from .runtime.lm_api import lm_compress_bytes
+
+        out = lm_compress_bytes(
+            data,
+            model_ref=args.model_ref,
+            block_tokens=args.block_tokens,
+            lanes=args.lanes,
+            prob_bits=args.prob_bits,
+        )
+    else:
+        from .runtime.engine import compress_bytes
+
+        out = compress_bytes(
+            data,
+            model_id=args.model,
+            block_size=args.block_size,
+            prob_bits=args.prob_bits,
+        )
     dt = time.perf_counter() - t0
     dst = args.output or args.file + ".lac"
     with open(dst, "wb") as f:
@@ -34,11 +45,19 @@ def _cmd_compress(args) -> int:
 
 
 def _cmd_decompress(args) -> int:
-    from .runtime.engine import decompress_bytes
+    from .stream.container import read_container
 
     data = open(args.file, "rb").read()
     t0 = time.perf_counter()
-    out = decompress_bytes(data)
+    header, _ = read_container(data)
+    if header.model_id == "lm":
+        from .runtime.lm_api import lm_decompress_bytes
+
+        out = lm_decompress_bytes(data)
+    else:
+        from .runtime.engine import decompress_bytes
+
+        out = decompress_bytes(data)
     dt = time.perf_counter() - t0
     dst = args.output or (
         args.file[:-4] if args.file.endswith(".lac") else args.file + ".out"
@@ -69,9 +88,14 @@ def main(argv=None) -> int:
     c = sub.add_parser("compress", help="compress FILE into a .lac container")
     c.add_argument("file")
     c.add_argument("-o", "--output")
-    c.add_argument("--model", default="order0", help="model id (see registry)")
-    c.add_argument("--block-size", type=int, default=1 << 16)
+    c.add_argument("--model", default="order0c",
+                   help="model id: order0c (turbo), order0/markov1[cd] (XLA), lm")
+    c.add_argument("--block-size", type=int, default=1 << 12)
     c.add_argument("--prob-bits", type=int, default=16)
+    c.add_argument("--model-ref", default="prng:byte-12l:0",
+                   help="LM predictor ref (prng:<preset>:<seed> or hf:<path>)")
+    c.add_argument("--block-tokens", type=int, default=512)
+    c.add_argument("--lanes", type=int, default=16)
     c.set_defaults(fn=_cmd_compress)
 
     d = sub.add_parser("decompress", help="decompress a .lac container")

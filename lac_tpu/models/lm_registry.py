@@ -1,0 +1,64 @@
+"""LM model registry: container ``model_ref`` -> (LMConfig, params).
+
+A container must be decodable from its own metadata, so every LM predictor
+is named by a reproducible reference string:
+
+- ``prng:<preset>:<seed>``  — deterministic random-init model (presets from
+  models.transformer); fully self-contained, used by tests and benches
+  (this image ships no pretrained checkpoints).
+- ``hf:<path-or-id>``       — local HuggingFace checkpoint via
+  models.hf_loader (no downloads).
+
+The container also stores a CDF fingerprint (runtime.lm_engine) so a decoder
+with different weights/stack fails loudly before emitting garbage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from . import transformer as tfm
+from .transformer import LMConfig, init_params
+
+__all__ = ["resolve_lm", "PRESETS"]
+
+PRESETS = {
+    "tiny": lambda: tfm.tiny_config(vocab=256, max_seq=256),
+    "tiny-gpt2": lambda: tfm.tiny_config(
+        vocab=256, max_seq=256, pos_embedding="learned", norm="layernorm",
+        act="gelu", use_bias=True, tie_embeddings=True, n_kv_heads=4,
+    ),
+    "byte-12l": lambda: LMConfig(          # ~20M-param byte LM (flagship
+        vocab=256, d_model=384, n_layers=12, n_heads=6, n_kv_heads=6,
+        d_ff=1536, max_seq=1024, dtype=jnp.bfloat16,   # byte-level config)
+    ),
+    "gpt2": lambda: tfm.GPT2_SMALL,
+    "tinyllama": lambda: tfm.TINYLLAMA_1B,
+    "llama2-7b": lambda: tfm.LLAMA2_7B,
+    "llama3-8b": lambda: tfm.LLAMA3_8B,
+}
+
+
+def resolve_lm(model_ref: str, max_seq: int | None = None):
+    """model_ref -> (LMConfig, params)."""
+    kind, _, rest = model_ref.partition(":")
+    if kind == "prng":
+        preset, _, seed = rest.partition(":")
+        if preset not in PRESETS:
+            raise KeyError(f"unknown preset '{preset}'; known: {sorted(PRESETS)}")
+        cfg = PRESETS[preset]()
+        if max_seq is not None:
+            cfg = dataclasses.replace(cfg, max_seq=max_seq)
+        params = init_params(cfg, jax.random.PRNGKey(int(seed or 0)))
+        return cfg, params
+    if kind == "hf":
+        from .hf_loader import load_hf_model
+
+        cfg, params = load_hf_model(rest)
+        if max_seq is not None:
+            cfg = dataclasses.replace(cfg, max_seq=max_seq)
+        return cfg, params
+    raise KeyError(f"unknown model_ref kind '{kind}' (want prng: or hf:)")

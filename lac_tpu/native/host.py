@@ -1,0 +1,143 @@
+"""ctypes binding + build for the native (C++) host coder.
+
+Bit-identical to the Pallas byte path (same model arithmetic, same rANS-32/16
+spec), so containers are interchangeable between host and TPU producers.
+Compiled on first use with g++ (-O3 -fopenmp) into native/build/.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..stream.container import (
+    CODEC_RANS32,
+    BlockEntry,
+    ContainerHeader,
+    read_container,
+    write_container,
+)
+
+__all__ = ["native_available", "native_compress", "native_decompress"]
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_ROOT, "native", "lac_native.cpp")
+_SO = os.path.join(_ROOT, "native", "build", "liblac_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.o0c_encode_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.o0c_decode_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_compress(data: bytes, block_size: int = 1024, rate: int = 4) -> bytes:
+    """Same container format as runtime.turbo.turbo_compress (codec 2)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native coder unavailable (g++ build failed)")
+    n = len(data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nblocks = max(1, -(-n // block_size))
+    cap = block_size + 2
+    offsets = np.arange(nblocks, dtype=np.int32) * block_size
+    lengths = np.minimum(block_size, n - offsets).astype(np.int32)
+    lengths = np.maximum(lengths, 0)
+    words = np.zeros((nblocks, cap), dtype=np.uint16)
+    nwords = np.zeros((nblocks,), dtype=np.int32)
+    if n:
+        lib.o0c_encode_blocks(
+            arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+            nblocks, cap, rate, 16, words.ctypes.data, nwords.ctypes.data,
+        )
+    else:
+        nwords[:] = 2
+        words[:, 0] = 1  # x = RANS32_L
+    blocks = []
+    for i in range(nblocks):
+        payload = words[i, : nwords[i]].astype(">u2").tobytes()
+        raw = arr[offsets[i] : offsets[i] + lengths[i]].tobytes()
+        if len(payload) >= len(raw) and len(raw) > 0:
+            blocks.append(BlockEntry(int(lengths[i]), 0, raw))
+        else:
+            blocks.append(BlockEntry(int(lengths[i]), int(lengths[i]), payload))
+    header = ContainerHeader(
+        codec=CODEC_RANS32, prob_bits=16, model_id="order0c",
+        config={"block_size": block_size, "rate": rate}, original_len=n,
+    )
+    return write_container(header, blocks)
+
+
+def native_decompress(container: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native coder unavailable (g++ build failed)")
+    header, blocks = read_container(container)
+    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
+        raise ValueError("not a turbo/order0c container")
+    block_size, rate = header.config["block_size"], header.config["rate"]
+    cap = block_size + 2
+    coded = [(i, b) for i, b in enumerate(blocks)
+             if not (b.token_count == 0 and b.raw_len > 0)]
+    out_parts: dict[int, bytes] = {
+        i: b.payload for i, b in enumerate(blocks)
+        if b.token_count == 0 and b.raw_len > 0
+    }
+    if coded:
+        nc = len(coded)
+        words = np.zeros((nc, cap), dtype=np.uint16)
+        lengths = np.zeros((nc,), dtype=np.int32)
+        out_offsets = np.zeros((nc,), dtype=np.int32)
+        total = 0
+        for j, (_, b) in enumerate(coded):
+            w = np.frombuffer(b.payload, dtype=">u2")
+            words[j, : len(w)] = w
+            lengths[j] = b.token_count
+            out_offsets[j] = total
+            total += b.token_count
+        out = np.zeros((total,), dtype=np.uint8)
+        lib.o0c_decode_blocks(
+            words.ctypes.data, lengths.ctypes.data, nc, cap, rate, 16,
+            out_offsets.ctypes.data, out.ctypes.data,
+        )
+        for j, (i, b) in enumerate(coded):
+            out_parts[i] = out[out_offsets[j] : out_offsets[j] + lengths[j]].tobytes()
+    res = b"".join(out_parts[i] for i in range(len(blocks)))
+    if len(res) != header.original_len:
+        raise ValueError("decoded length mismatch")
+    return res
