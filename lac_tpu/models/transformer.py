@@ -159,11 +159,19 @@ def init_params(cfg: LMConfig, key: jax.Array) -> dict:
 
 def init_cache(cfg: LMConfig, batch: int) -> dict:
     """KV cache over the context window. ``pos`` is the shared write cursor
-    (all lanes run lock-step)."""
+    (all lanes run lock-step). Per-layer entries (not one stacked [L, ...]
+    tensor): stacked caches force XLA to rebuild the whole array on every
+    layer's dynamic_update_slice inside scan carries — measured 10x step
+    cost on v5e."""
     hd, kvh = cfg.head_dim, cfg.n_kv_heads
     return {
-        "k": jnp.zeros((cfg.n_layers, batch, cfg.max_seq, kvh, hd), cfg.dtype),
-        "v": jnp.zeros((cfg.n_layers, batch, cfg.max_seq, kvh, hd), cfg.dtype),
+        "layers": [
+            {
+                "k": jnp.zeros((batch, cfg.max_seq, kvh, hd), cfg.dtype),
+                "v": jnp.zeros((batch, cfg.max_seq, kvh, hd), cfg.dtype),
+            }
+            for _ in range(cfg.n_layers)
+        ],
         "pos": jnp.zeros((), jnp.int32),
     }
 
@@ -199,10 +207,9 @@ def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attention(cfg: LMConfig, layer_idx: int, p: dict, x: jax.Array, cache: dict):
+def _attention(cfg: LMConfig, p: dict, x: jax.Array, layer_cache: dict, pos):
     b, s, d = x.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    pos = cache["pos"]
 
     def proj(w, bias_name, out_heads):
         y = jnp.dot(x, p[w], preferred_element_type=f32).astype(cfg.dtype)
@@ -222,17 +229,17 @@ def _attention(cfg: LMConfig, layer_idx: int, p: dict, x: jax.Array, cache: dict
     # indices must share one dtype even under scoped x64 (literal 0 would
     # weakly promote to int64 there while pos is int32)
     z = jnp.zeros((), jnp.int32)
-    ck = jax.lax.dynamic_update_slice(cache["k"][layer_idx], k, (z, pos, z, z))
-    cv = jax.lax.dynamic_update_slice(cache["v"][layer_idx], v, (z, pos, z, z))
-    new_k = cache["k"].at[layer_idx].set(ck)
-    new_v = cache["v"].at[layer_idx].set(cv)
+    ck = jax.lax.dynamic_update_slice(layer_cache["k"], k, (z, pos, z, z))
+    cv = jax.lax.dynamic_update_slice(layer_cache["v"], v, (z, pos, z, z))
 
     # GQA: expand kv heads to query heads
     rep = h // kvh
-    kk = jnp.repeat(ck, rep, axis=2)  # [B, W, H, Dh]
-    vv = jnp.repeat(cv, rep, axis=2)
+    kk = jnp.repeat(ck, rep, axis=2) if rep > 1 else ck  # [B, W, H, Dh]
+    vv = jnp.repeat(cv, rep, axis=2) if rep > 1 else cv
 
-    scores = jnp.einsum("bshd,bwhd->bhsw", q.astype(f32), kk.astype(f32))
+    # bf16 einsum inputs with f32 accumulation: materializing f32 casts of
+    # the cached K/V doubles the per-step HBM traffic (measured dominant)
+    scores = jnp.einsum("bshd,bwhd->bhsw", q, kk, preferred_element_type=f32)
     scores = scores * (f32(1.0) / jnp.sqrt(f32(hd)))
     # causal + validity mask over absolute cache positions (exact -inf)
     w_ids = jnp.arange(cfg.max_seq, dtype=jnp.int32)[None, None, None, :]
@@ -240,12 +247,16 @@ def _attention(cfg: LMConfig, layer_idx: int, p: dict, x: jax.Array, cache: dict
     mask = w_ids <= q_ids
     scores = jnp.where(mask, scores, f32(-jnp.inf))
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhsw,bwhd->bshd", probs, vv.astype(f32)).astype(cfg.dtype)
+    # exact zeros survive the downcast, so masked positions still contribute
+    # exactly nothing to the PV product
+    out = jnp.einsum(
+        "bhsw,bwhd->bshd", probs.astype(cfg.dtype), vv, preferred_element_type=f32
+    ).astype(cfg.dtype)
     out = out.reshape(b, s, h * hd)
     y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
     if cfg.use_bias:
         y = y + p["bo"]
-    return y, new_k, new_v
+    return y, {"k": ck, "v": cv}
 
 
 def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
@@ -276,10 +287,12 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict):
         s = tokens.shape[1]
         positions = cache["pos"] + jnp.arange(s, dtype=jnp.int32)
         x = x + params["pos_embed"][positions][None, :, :].astype(cfg.dtype)
-    new_cache = {"k": cache["k"], "v": cache["v"], "pos": cache["pos"]}
+    new_cache = {"layers": [], "pos": cache["pos"]}
     for i, layer in enumerate(params["layers"]):
-        h, nk, nv = _attention(cfg, i, layer, _norm(cfg, layer["ln1"], x), new_cache)
-        new_cache["k"], new_cache["v"] = nk, nv
+        h, lc = _attention(
+            cfg, layer, _norm(cfg, layer["ln1"], x), cache["layers"][i], cache["pos"]
+        )
+        new_cache["layers"].append(lc)
         x = x + h
         x = x + _mlp(cfg, layer, _norm(cfg, layer["ln2"], x))
     x = _norm(cfg, params["final_norm"], x)

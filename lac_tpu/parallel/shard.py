@@ -64,11 +64,11 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def cache_pspecs() -> dict:
-    # cache: k/v [L, B, W, KVH, Dh]; lanes over data, kv heads over model
+def cache_pspecs(n_layers: int) -> dict:
+    # per-layer cache: k/v [B, W, KVH, Dh]; lanes over data, kv heads over model
+    kv = P("data", None, "model", None)
     return {
-        "k": P(None, "data", None, "model", None),
-        "v": P(None, "data", None, "model", None),
+        "layers": [{"k": kv, "v": kv} for _ in range(n_layers)],
         "pos": P(),
     }
 
