@@ -32,12 +32,7 @@ def main() -> int:
     import numpy as np
     import jax.numpy as jnp
 
-    from lac_tpu.ops.pallas_rans import (
-        compact_words,
-        o0c_encode_intervals,
-        o0c_rans32_decode,
-        rans32_encode_dense,
-    )
+    from lac_tpu.ops.pallas_rans import o0c_encode_fused, o0c_rans32_decode
     from lac_tpu.runtime.turbo import turbo_compress, turbo_decompress
 
     V, PB, RATE = 256, 16, 4
@@ -56,25 +51,32 @@ def main() -> int:
     lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     def encode(s):
-        lo, fr = o0c_encode_intervals(s, V, PB, RATE)
-        dense, xfin = rans32_encode_dense(lo, fr, lengths[None, :], PB)
-        return compact_words(dense, xfin, T + 2)
+        return o0c_encode_fused(s, lengths[None, :], V, PB, RATE, T + 2)
 
-    words, nw = encode(syms_d)
-    int(jnp.sum(nw))  # compile+sync
+    words_full, nw = encode(syms_d)
+    maxw = int(jnp.max(nw))  # compile+sync
+    cap = next(c for c in (64, 128, 192, 256, 384, 512, 768, 1024, T + 2) if c >= maxw)
+    words = jnp.asarray(jnp.asarray(words_full)[:, :cap])
     d = o0c_rans32_decode(words, lengths, T, V, PB, RATE)
     int(jnp.sum(d))
 
-    def med(fn, n=5):
+    def med(fn, n=5, reps=4):
+        # sustained throughput: `reps` back-to-back device calls per scalar
+        # sync, so the harness-tunnel round-trip (~35ms) is amortized the way
+        # pipelined production waves amortize it
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
+            r = None
+            for _ in range(reps):
+                r = fn()
+            jnp.sum(r).block_until_ready()
+            int(jnp.sum(r))
+            ts.append((time.perf_counter() - t0) / reps)
         return statistics.median(ts)
 
-    te = med(lambda: int(jnp.sum(encode(syms_d)[1])))
-    td = med(lambda: int(jnp.sum(o0c_rans32_decode(words, lengths, T, V, PB, RATE))))
+    te = med(lambda: encode(syms_d)[1])
+    td = med(lambda: o0c_rans32_decode(words, lengths, T, V, PB, RATE))
     enc_mbs, dec_mbs = n_mb / te, n_mb / td
     combined = 2 * n_mb / (te + td)
     baseline = 0.013  # reference-class pure-Python coder, MB/s

@@ -38,6 +38,7 @@ from ..models.functional import CDF_STATE_BITS
 
 __all__ = [
     "o0c_encode_intervals",
+    "o0c_encode_fused",
     "rans32_encode_dense",
     "compact_words",
     "o0c_rans32_decode",
@@ -244,13 +245,122 @@ def compact_words(dense: jax.Array, xfin: jax.Array, cap: int):
     return words, nwords
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def o0c_encode_fused(syms_tb: jax.Array, lengths: jax.Array, v: int, prob_bits: int,
+                     rate: int, cap: int):
+    """All three encode stages in ONE executable. The per-executable dispatch
+    on the driver's TPU tunnel is ~3ms (measured, v5e via axon); fusing the
+    stages saves two dispatches per wave. lengths: [1, B]."""
+    lo, fr = o0c_encode_intervals(syms_tb, v, prob_bits, rate)
+    dense, xfin = rans32_encode_dense(lo, fr, lengths, prob_bits)
+    return compact_words(dense, xfin, cap)
+
+
 # --------------------------------------------------------------------------
-# Kernel C: fused decode — model + rANS-32/16, one 128-step chunk per call.
+# Kernel C: fused decode — model + rANS-32/16 for the WHOLE block in one
+# pallas_call.
 #
-# Each lane consumes at most one word per step, so a 128-row FIFO window
-# covers a 128-step chunk; the XLA wrapper scans over chunks, re-gathering
-# each lane's next window between calls (scan overhead paid once per 128
-# steps instead of per step).
+# The word streams of all lanes live in a VMEM scratch [cap, B] consumed as
+# a shift register: each lane's next word is row 0; a refill pops it with a
+# per-lane conditional cyclic roll (dynamic per-lane gathers are unsupported
+# on TPU, and an XLA take_along_axis re-gather between 128-step chunks was
+# measured at 2.7ms/chunk — more than the chunk kernel itself).
+# VMEM budget gates this path; oversized (cap, B) falls back to the chunked
+# kernel with per-chunk window re-gather below.
+# --------------------------------------------------------------------------
+
+
+def _decode_fused_kernel(
+    words_ref, len_ref, syms_ref, wbuf, state_scr, x_scr,
+    *, v, prob_bits, rate, cap,
+):
+    b = state_scr.shape[1]
+    m_scale = jnp.int32((1 << prob_bits) - v)
+    mask_pb = jnp.uint32((1 << prob_bits) - 1)
+    pid = pl.program_id(0)
+    k = _iota_vb(v, b)
+
+    @pl.when(pid == 0)
+    def _():
+        w = words_ref[:]
+        x_scr[:] = (w[0:1, :] << 16) | w[1:2, :]
+        wbuf[:] = pltpu.roll(w, cap - 2, axis=0)  # rows 0,1 consumed by init
+        state_scr[:] = _state_init_vb(v, b)
+
+    t0 = pid * _FIFO
+    lengths = len_ref[:]  # [1, B]
+
+    def body(i, carry):
+        state, x, wb = carry
+        active = (t0 + i) < lengths
+        eff = ((state * m_scale) >> CDF_STATE_BITS) + k  # [V, B]
+        slot = (x & mask_pb).astype(jnp.int32)
+        m = eff <= slot
+        s = jnp.sum(m, axis=0, keepdims=True, dtype=jnp.int32) - 1
+        lo = jnp.max(jnp.where(m, eff, 0), axis=0, keepdims=True)
+        hi = jnp.min(
+            jnp.where(m, jnp.int32(1 << prob_bits), eff), axis=0, keepdims=True
+        )
+        fr = (hi - lo).astype(jnp.uint32)
+        x_new = fr * (x >> prob_bits) + (slot - lo).astype(jnp.uint32)
+        refill = active & (x_new < jnp.uint32(1 << 16))
+        w = wb[0:1, :]
+        x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+        wb = jnp.where(refill, pltpu.roll(wb, cap - 1, axis=0), wb)
+        syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
+        state = jnp.where(
+            active, _state_update_vb(state, s, _rate_at(rate, t0 + i), v, b), state
+        )
+        return state, jnp.where(active, x_new, x), wb
+
+    st, x, wb = lax.fori_loop(
+        0, _FIFO, body, (state_scr[:], x_scr[:], wbuf[:])
+    )
+    state_scr[:] = st
+    x_scr[:] = x
+    wbuf[:] = wb
+
+
+_FUSED_VMEM_LIMIT = 64 * 1024 * 1024  # v5e VMEM is 128MB; default scoped limit 16MB
+
+
+def _fused_vmem_ok(cap: int, b: int, v: int) -> bool:
+    # words input block + wbuf scratch + fori-carry copies + roll temp
+    # (~2x the live set, measured) + model state (x2) + syms out block
+    need = 4 * (5 * cap * b + 3 * v * b + 2 * _FIFO * b + 16 * b)
+    return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
+
+
+def _decode_fused(words, lengths, t_len, v, prob_bits, rate):
+    b, cap = words.shape
+    n_chunks = -(-t_len // _FIFO)
+    kern = functools.partial(
+        _decode_fused_kernel, v=v, prob_bits=prob_bits, rate=rate, cap=cap
+    )
+    syms = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((cap, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_FIFO, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cap, b), jnp.uint32),
+            pltpu.VMEM((v, b), jnp.int32),
+            pltpu.VMEM((1, b), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=_interp(),
+    )(words.T, lengths[None, :].astype(jnp.int32))
+    return syms[:t_len]
+
+
+# --------------------------------------------------------------------------
+# Fallback decode for oversized (cap, B): one 128-step chunk per pallas_call;
+# each lane's next words sit in a [128, B] FIFO window re-gathered by the XLA
+# wrapper between chunks.
 # --------------------------------------------------------------------------
 
 
@@ -330,8 +440,11 @@ def o0c_rans32_decode(
     words: jax.Array, lengths: jax.Array, t_len: int, v: int, prob_bits: int, rate: int
 ):
     """words: [B, cap] u32 (16-bit values, decode order); lengths [B].
-    Returns syms [T, B]."""
+    Returns syms [T, B]. Single fused kernel when (cap, B) fits VMEM;
+    chunked kernel with window re-gather otherwise."""
     b, cap = words.shape
+    if _fused_vmem_ok(cap, b, v):
+        return _decode_fused(words, lengths, t_len, v, prob_bits, rate)
     n_chunks = -(-t_len // _FIFO)
     state0 = _state_init_vb(v, b)
     x0 = ((words[:, 0] << 16) | words[:, 1])[None, :]

@@ -17,10 +17,8 @@ import jax.numpy as jnp
 
 from ..models.functional import CDF_STATE_BITS  # noqa: F401  (spec anchor)
 from ..ops.pallas_rans import (
-    compact_words,
-    o0c_encode_intervals,
+    o0c_encode_fused,
     o0c_rans32_decode,
-    rans32_encode_dense,
 )
 from ..stream.container import (
     CODEC_RANS32,
@@ -72,9 +70,10 @@ def turbo_compress(
                 chunk = arr[i * block_size : (i + 1) * block_size]
                 syms[: len(chunk), j] = chunk
                 lengths[j] = len(chunk)
-        lo, fr = o0c_encode_intervals(jnp.asarray(syms), 256, _PB, rate)
-        dense, xfin = rans32_encode_dense(lo, fr, jnp.asarray(lengths)[None, :], _PB)
-        words, nwords = compact_words(dense, xfin, block_size + 2)
+        words, nwords = o0c_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
+            block_size + 2,
+        )
         words, nwords = np.asarray(words), np.asarray(nwords)
         for j in range(min(wave, nblocks - done)):
             payload = words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
@@ -105,10 +104,23 @@ def turbo_decompress(container: bytes) -> bytes:
     nblocks = len(blocks)
     out = bytearray()
     done = 0
-    cap = block_size + 2
     for wave in _wave_sizes(nblocks):
+        # cap bucketing: size the word grid to the wave's longest coded
+        # payload (few fixed buckets to bound recompiles). Raw-fallback
+        # blocks guarantee coded payloads < block_size/2 words, so small
+        # buckets dominate in practice.
+        maxw = 0
+        for j in range(min(wave, nblocks - done)):
+            blk = blocks[done + j]
+            if not (blk.token_count == 0 and blk.raw_len > 0):
+                maxw = max(maxw, len(blk.payload) // 2)
+        cap = next(
+            c for c in (64, 128, 192, 256, 384, 512, 768, 1024, block_size + 2)
+            if c >= max(maxw, 3)
+        )
         words = np.zeros((wave, cap), dtype=np.uint32)
         lengths = np.zeros((wave,), dtype=np.int32)
+        any_coded = False
         for j in range(min(wave, nblocks - done)):
             blk = blocks[done + j]
             if blk.token_count == 0 and blk.raw_len > 0:
@@ -116,11 +128,13 @@ def turbo_decompress(container: bytes) -> bytes:
             w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
-        syms = np.asarray(
-            o0c_rans32_decode(
-                jnp.asarray(words), jnp.asarray(lengths), block_size, 256, _PB, rate
-            )
-        )  # [T, wave]
+            any_coded = True
+        if any_coded:
+            syms = np.asarray(
+                o0c_rans32_decode(
+                    jnp.asarray(words), jnp.asarray(lengths), block_size, 256, _PB, rate
+                )
+            )  # [T, wave]
         for j in range(min(wave, nblocks - done)):
             blk = blocks[done + j]
             if blk.token_count == 0 and blk.raw_len > 0:
