@@ -60,7 +60,7 @@ def main() -> int:
     d = o0c_rans32_decode(words, lengths, T, V, PB, RATE)
     int(jnp.sum(d))
 
-    def med(fn, n=5, reps=4):
+    def med(fn, n=5, reps=10):
         # sustained throughput: `reps` back-to-back device calls per scalar
         # sync, so the harness-tunnel round-trip (~35ms) is amortized the way
         # pipelined production waves amortize it
