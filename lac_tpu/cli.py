@@ -68,6 +68,55 @@ def _cmd_decompress(args) -> int:
     return 0
 
 
+def _cmd_verify(args) -> int:
+    from .stream.container import verify_container
+
+    rep = verify_container(open(args.file, "rb").read())
+    print(
+        f"codec={rep['codec']} model={rep['model_id']} blocks={rep['n_blocks']} "
+        f"original_len={rep['original_len']}"
+    )
+    if rep["ok"]:
+        print("all block checksums OK")
+        return 0
+    print(f"CORRUPT blocks (index, byte span): "
+          f"{[(i, rep['block_spans'][i]) for i in rep['bad_blocks']]}")
+    return 1
+
+
+def _cmd_bench(args) -> int:
+    """Round-trip benchmark on FILE: compress, decompress, verify, report."""
+    data = open(args.file, "rb").read()
+    from .config import ByteCodingConfig
+    from .runtime.engine import compress_bytes, decompress_bytes
+
+    cfg = ByteCodingConfig(
+        model_id=args.model, block_size=args.block_size, prob_bits=args.prob_bits
+    )
+    # warm (compile) once, then time
+    out = compress_bytes(data, **cfg.engine_kwargs())
+    t0 = time.perf_counter()
+    out = compress_bytes(data, **cfg.engine_kwargs())
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = decompress_bytes(out)
+    t_dec = time.perf_counter() - t0
+    ok = back == data
+    import json as _json
+
+    print(_json.dumps({
+        "file": args.file,
+        "model": args.model,
+        "bytes": len(data),
+        "compressed": len(out),
+        "bits_per_byte": round(8 * len(out) / max(1, len(data)), 4),
+        "encode_MBps": round(len(data) / t_enc / 1e6, 3),
+        "decode_MBps": round(len(data) / t_dec / 1e6, 3),
+        "roundtrip_ok": ok,
+    }))
+    return 0 if ok else 1
+
+
 def _cmd_info(args) -> int:
     from .stream.container import read_container
 
@@ -106,6 +155,17 @@ def main(argv=None) -> int:
     i = sub.add_parser("info", help="show container metadata")
     i.add_argument("file")
     i.set_defaults(fn=_cmd_info)
+
+    v = sub.add_parser("verify", help="check per-block checksums of a .lac container")
+    v.add_argument("file")
+    v.set_defaults(fn=_cmd_verify)
+
+    b = sub.add_parser("bench", help="round-trip benchmark on FILE")
+    b.add_argument("file")
+    b.add_argument("--model", default="order0c")
+    b.add_argument("--block-size", type=int, default=1 << 12)
+    b.add_argument("--prob-bits", type=int, default=16)
+    b.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -18,7 +18,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["stream_stats", "Throughput", "profile_trace", "JsonlLogger"]
+__all__ = [
+    "stream_stats",
+    "Throughput",
+    "profile_trace",
+    "JsonlLogger",
+    "ngram_stats",
+    "measure_compress",
+]
 
 
 def stream_stats(freq: np.ndarray, lengths: np.ndarray, payload_bytes: np.ndarray,
@@ -89,6 +96,75 @@ def profile_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def ngram_stats(data, order: int) -> dict:
+    """n-gram frequency counts of a symbol sequence.
+
+    Capability parity with the reference's ``nth_order_stats``
+    (arith_code.py:353-361), vectorized: returns {ngram tuple: count} for
+    all ``order``-grams. Also reports the empirical conditional entropy an
+    order-(n-1) model could reach, which the reference's tool left to the
+    caller."""
+    seq = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.asarray(data)
+    n = len(seq)
+    if order < 1 or n < order:
+        return {"counts": {}, "unique": 0, "conditional_entropy_bits": 0.0}
+    windows = np.lib.stride_tricks.sliding_window_view(seq, order)
+    uniq, counts = np.unique(windows, axis=0, return_counts=True)
+    table = {tuple(int(x) for x in row): int(c) for row, c in zip(uniq, counts)}
+    # H(X_n | X_1..X_{n-1}) = H(n-gram) - H((n-1)-gram)
+    p = counts / counts.sum()
+    h_n = float(-(p * np.log2(p)).sum())
+    if order > 1:
+        w1 = np.lib.stride_tricks.sliding_window_view(seq, order - 1)
+        _, c1 = np.unique(w1, axis=0, return_counts=True)
+        p1 = c1 / c1.sum()
+        h_cond = h_n - float(-(p1 * np.log2(p1)).sum())
+    else:
+        h_cond = h_n
+    return {"counts": table, "unique": len(table), "conditional_entropy_bits": h_cond}
+
+
+def measure_compress(
+    data,
+    predictor,
+    precision: int = 48,
+    report_every: int = 0,
+    out=sys.stderr,
+) -> tuple[bytes, dict]:
+    """Instrumented oracle-coder compression harness.
+
+    Capability parity with the reference's only benchmark runner
+    (``measure_compress``, arith_code.py:401-420): codes ``data`` (bytes or
+    symbol sequence) with the host arithmetic coder, optionally live-printing
+    symbols / total fractional code length / bits-per-symbol every
+    ``report_every`` symbols, and returns (payload, stats)."""
+    from .coder.reference import ArithmeticEncoder
+
+    syms = list(data) if isinstance(data, (bytes, bytearray)) else list(data)
+    enc = ArithmeticEncoder(predictor.copy(), precision)
+    t0 = time.perf_counter()
+    for i, s in enumerate(syms, 1):
+        enc.encode_symbol(s)
+        if report_every and i % report_every == 0:
+            tot = enc.total_code_length
+            print(
+                f"{i} symbols -> {tot:.2f} bits, {tot / i:.4f} bits/sym",
+                file=out, flush=True,
+            )
+    payload = enc.flush()
+    dt = time.perf_counter() - t0
+    stats = {
+        "symbols": len(syms),
+        "payload_bytes": len(payload),
+        "emitted_bits": enc.emitted_bits,
+        "bits_per_symbol": 8 * len(payload) / max(1, len(syms)),
+        "seconds": dt,
+        "symbols_per_s": len(syms) / max(dt, 1e-9),
+    }
+    return payload, stats
 
 
 class JsonlLogger:

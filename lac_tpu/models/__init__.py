@@ -6,3 +6,4 @@ from .classical import (  # noqa: F401
     HistoryRL,
     MarkovMix,
 )
+from .ppm import PPM  # noqa: F401

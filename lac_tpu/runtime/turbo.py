@@ -28,7 +28,7 @@ from ..stream.container import (
     write_container,
 )
 
-__all__ = ["turbo_compress", "turbo_decompress", "MAX_WAVE"]
+__all__ = ["turbo_compress", "turbo_decompress", "turbo_decompress_blocks", "MAX_WAVE"]
 
 MAX_WAVE = 2048  # lanes per kernel invocation (VMEM bound at T=1024)
 _DEFAULT_BLOCK = 1024
@@ -95,14 +95,14 @@ def turbo_compress(
     return write_container(header, blocks)
 
 
-def turbo_decompress(container: bytes) -> bytes:
-    header, blocks = read_container(container)
-    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
-        raise ValueError("not a turbo order0c container")
+def _decode_block_list(header, blocks) -> list[bytes]:
+    """Decode a list of independent blocks (wave-batched). The block list
+    need not be the container's full list or in container order — this is
+    the random-access / resume primitive (SURVEY.md §5 checkpoint row)."""
     block_size = header.config["block_size"]
     rate = header.config["rate"]
     nblocks = len(blocks)
-    out = bytearray()
+    results: list[bytes] = [b""] * nblocks
     done = 0
     for wave in _wave_sizes(nblocks):
         # cap bucketing: size the word grid to the wave's longest coded
@@ -138,10 +138,26 @@ def turbo_decompress(container: bytes) -> bytes:
         for j in range(min(wave, nblocks - done)):
             blk = blocks[done + j]
             if blk.token_count == 0 and blk.raw_len > 0:
-                out += blk.payload
+                results[done + j] = blk.payload
             else:
-                out += syms[: lengths[j], j].astype(np.uint8).tobytes()
+                results[done + j] = syms[: lengths[j], j].astype(np.uint8).tobytes()
         done += wave
+    return results
+
+
+def turbo_decompress(container: bytes) -> bytes:
+    header, blocks = read_container(container)
+    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
+        raise ValueError("not a turbo order0c container")
+    out = b"".join(_decode_block_list(header, blocks))
     if len(out) != header.original_len:
         raise ValueError("decoded length mismatch")
-    return bytes(out)
+    return out
+
+
+def turbo_decompress_blocks(container: bytes, indices) -> list[bytes]:
+    """Random-access decode of selected blocks only."""
+    header, blocks = read_container(container)
+    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
+        raise ValueError("not a turbo order0c container")
+    return _decode_block_list(header, [blocks[i] for i in indices])

@@ -70,7 +70,13 @@ def write_container(header: ContainerHeader, blocks: list[BlockEntry]) -> bytes:
     return bytes(out)
 
 
-def read_container(data: bytes) -> tuple[ContainerHeader, list[BlockEntry]]:
+def scan_container(
+    data: bytes,
+) -> tuple[ContainerHeader, list[BlockEntry], list[int]]:
+    """Tolerant parse: returns (header, blocks, bad_block_indices) without
+    raising on payload corruption. Block independence makes this the
+    failure-detection/recovery primitive (SURVEY.md §5): a corrupt block is
+    reported by index and every other block remains decodable."""
     if data[:4] != MAGIC:
         raise ValueError("not a .lac container (bad magic)")
     version, codec, prob_bits, flags = struct.unpack_from("<BBBB", data, 4)
@@ -93,11 +99,39 @@ def read_container(data: bytes) -> tuple[ContainerHeader, list[BlockEntry]]:
         off += 16
         entries.append((raw_len, token_count, plen, crc))
     blocks = []
-    for raw_len, token_count, plen, crc in entries:
+    bad = []
+    for i, (raw_len, token_count, plen, crc) in enumerate(entries):
         payload = data[off : off + plen]
         off += plen
-        if zlib.crc32(payload) != crc:
-            raise ValueError("block checksum mismatch: corrupt payload")
+        if len(payload) != plen or zlib.crc32(payload) != crc:
+            bad.append(i)
         blocks.append(BlockEntry(raw_len, token_count, payload))
     header = ContainerHeader(codec, prob_bits, model_id, config, original_len, flags)
+    return header, blocks, bad
+
+
+def read_container(data: bytes) -> tuple[ContainerHeader, list[BlockEntry]]:
+    header, blocks, bad = scan_container(data)
+    if bad:
+        raise ValueError(f"block checksum mismatch: corrupt payload (blocks {bad})")
     return header, blocks
+
+
+def verify_container(data: bytes) -> dict:
+    """Integrity report: header metadata, per-block checksum results, and
+    the byte span each block covers (for resume/random access)."""
+    header, blocks, bad = scan_container(data)
+    spans = []
+    pos = 0
+    for b in blocks:
+        spans.append((pos, pos + b.raw_len))
+        pos += b.raw_len
+    return {
+        "ok": not bad and pos == header.original_len,
+        "codec": header.codec,
+        "model_id": header.model_id,
+        "n_blocks": len(blocks),
+        "bad_blocks": bad,
+        "original_len": header.original_len,
+        "block_spans": spans,
+    }

@@ -42,6 +42,14 @@ class BitWriter:
             out += bytes([self._acc << (8 - self._nacc)])
         return out
 
+    def drain(self) -> bytes:
+        """Return (and forget) the *completed* bytes written so far; the
+        partial byte stays buffered. Incremental counterpart of
+        ``getvalue`` for streaming consumers."""
+        out = bytes(self._buf)
+        self._buf.clear()
+        return out
+
 
 class BitReader:
     """Reads bits MSB-first from bytes; reads past the end yield ``pad_bit``.
