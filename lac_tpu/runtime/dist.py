@@ -13,12 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_rans import (
-    compact_words,
-    o0c_encode_intervals,
-    o0c_rans32_decode,
-    rans32_encode_dense,
-)
+from ..ops.pallas_rans import o0c_encode_fused, o0c_rans32_decode
 from ..parallel.distributed import allgather_blocks, my_block_span
 from ..stream.container import (
     CODEC_RANS32,
@@ -45,9 +40,10 @@ def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: i
         chunk = arr[(start + j) * block_size : (start + j + 1) * block_size]
         syms[: len(chunk), j] = chunk
         lengths[j] = len(chunk)
-    lo, fr = o0c_encode_intervals(jnp.asarray(syms), 256, _PB, rate)
-    dense, xfin = rans32_encode_dense(lo, fr, jnp.asarray(lengths)[None, :], _PB)
-    words, nwords = compact_words(dense, xfin, block_size + 2)
+    words, nwords = o0c_encode_fused(
+        jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
+        block_size + 2,
+    )
     words, nwords = np.asarray(words), np.asarray(nwords)
     out = []
     for j in range(nblk):
