@@ -232,25 +232,26 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, layer_cache: dict, pos):
     ck = jax.lax.dynamic_update_slice(layer_cache["k"], k, (z, pos, z, z))
     cv = jax.lax.dynamic_update_slice(layer_cache["v"], v, (z, pos, z, z))
 
-    # GQA: expand kv heads to query heads
+    # GQA without materializing repeated K/V: fold the query-head expansion
+    # into the einsum as a grouped head axis. jnp.repeat of the cached K/V
+    # ([B, W, H, Dh] per layer per step) was measured as the dominant HBM
+    # traffic at TinyLlama-1.1B scale (~6GB/step at B=64).
     rep = h // kvh
-    kk = jnp.repeat(ck, rep, axis=2) if rep > 1 else ck  # [B, W, H, Dh]
-    vv = jnp.repeat(cv, rep, axis=2) if rep > 1 else cv
-
+    qg = q.reshape(b, s, kvh, rep, hd)
     # bf16 einsum inputs with f32 accumulation: materializing f32 casts of
     # the cached K/V doubles the per-step HBM traffic (measured dominant)
-    scores = jnp.einsum("bshd,bwhd->bhsw", q, kk, preferred_element_type=f32)
+    scores = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
     scores = scores * (f32(1.0) / jnp.sqrt(f32(hd)))
     # causal + validity mask over absolute cache positions (exact -inf)
-    w_ids = jnp.arange(cfg.max_seq, dtype=jnp.int32)[None, None, None, :]
-    q_ids = positions[None, None, :, None]
+    w_ids = jnp.arange(cfg.max_seq, dtype=jnp.int32)[None, None, None, None, :]
+    q_ids = positions[None, None, None, :, None]
     mask = w_ids <= q_ids
     scores = jnp.where(mask, scores, f32(-jnp.inf))
     probs = jax.nn.softmax(scores, axis=-1)
     # exact zeros survive the downcast, so masked positions still contribute
     # exactly nothing to the PV product
     out = jnp.einsum(
-        "bhsw,bwhd->bshd", probs.astype(cfg.dtype), vv, preferred_element_type=f32
+        "bkrsw,bwkd->bskrd", probs.astype(cfg.dtype), cv, preferred_element_type=f32
     ).astype(cfg.dtype)
     out = out.reshape(b, s, h * hd)
     y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
@@ -300,6 +301,11 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict):
         wh = params["embed"][: cfg.vocab].T  # [D, V]
     else:
         wh = params["head"]
-    logits = jnp.dot(x.astype(f32), wh.astype(f32), preferred_element_type=f32)
+    # model-dtype operands with f32 MXU accumulation: an explicit f32 cast of
+    # the [D, V] head materializes ~260MB per step at 32k vocab and forces a
+    # (slower) f32 matmul; bf16-in/f32-out is the hardware's native mode
+    logits = jnp.dot(
+        x.astype(cfg.dtype), wh.astype(cfg.dtype), preferred_element_type=f32
+    )
     new_cache["pos"] = cache["pos"] + jnp.int32(tokens.shape[1])
     return logits, new_cache
