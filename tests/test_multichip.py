@@ -1,0 +1,58 @@
+"""TP+DP mesh coverage in the test suite (mirrors the driver's
+__graft_entry__.dryrun_multichip): LM encode/decode over a (data, model)
+mesh of 8 virtual CPU devices must round-trip, and TP-sharded single-chip
+logits must match the unsharded ones closely enough to be a plausible
+deployment (bit-identical is NOT promised across meshes — see
+docs/DESIGN.md §6; encode/decode always share one mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lac_tpu.models.transformer import forward, init_cache, init_params, tiny_config
+from lac_tpu.parallel.mesh import make_mesh
+from lac_tpu.parallel.shard import shard_params
+from lac_tpu.runtime.lm_engine import lm_decode, lm_encode
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup(model_par: int):
+    mesh = make_mesh(data=-1, model=model_par, devices=jax.devices()[:8])
+    cfg = tiny_config(vocab=61, n_heads=4, n_kv_heads=2, max_seq=32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return mesh, cfg, params
+
+
+@pytest.mark.parametrize("model_par", [1, 2, 4])
+def test_lm_roundtrip_on_mesh(model_par):
+    mesh, cfg, params = _setup(model_par)
+    sharded = shard_params(mesh, params)
+    b, t_len, pb = 2 * (8 // model_par), 16, 12
+    rng = np.random.default_rng(1)
+    tokens = rng.integers(0, cfg.vocab, (b, t_len)).astype(np.int32)
+    lengths = np.full(b, t_len, dtype=np.int32)
+    tokens_d = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    lengths_d = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    words, nwords = lm_encode(cfg, sharded, tokens_d, lengths_d, pb)
+    decoded = np.asarray(
+        lm_decode(cfg, sharded, np.asarray(words), lengths_d, pb, t_len)
+    )
+    assert (decoded == tokens).all()
+
+
+def test_tp_logits_close_to_unsharded():
+    mesh, cfg, params = _setup(2)
+    sharded = shard_params(mesh, params)
+    b = 8
+    toks = jnp.asarray(np.random.default_rng(2).integers(0, cfg.vocab, (b, 4)))
+    logits_ref, _ = jax.jit(forward, static_argnums=0)(cfg, params, toks, init_cache(cfg, b))
+    logits_tp, _ = jax.jit(forward, static_argnums=0)(cfg, sharded, toks, init_cache(cfg, b))
+    np.testing.assert_allclose(
+        np.asarray(logits_ref), np.asarray(logits_tp), rtol=2e-4, atol=2e-4
+    )
