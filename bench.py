@@ -51,11 +51,13 @@ def main() -> int:
     lengths = jnp.full((B,), T, dtype=jnp.int32)
 
     def encode(s):
-        return o0c_encode_fused(s, lengths[None, :], V, PB, RATE, T + 2)
+        # same cap production turbo_compress uses (raw fallback bounds coded
+        # lanes below block_size//2 words)
+        return o0c_encode_fused(s, lengths[None, :], V, PB, RATE, T // 2 + 3)
 
     words_full, nw = encode(syms_d)
     maxw = int(jnp.max(nw))  # compile+sync
-    cap = next(c for c in (64, 128, 192, 256, 384, 512, 768, 1024, T + 2) if c >= maxw)
+    cap = next(c for c in (64, 128, 192, 256, 384, 512, T // 2 + 3) if c >= maxw)
     words = jnp.asarray(jnp.asarray(words_full)[:, :cap])
     d = o0c_rans32_decode(words, lengths, T, V, PB, RATE)
     int(jnp.sum(d))

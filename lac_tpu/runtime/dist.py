@@ -40,18 +40,20 @@ def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: i
         chunk = arr[(start + j) * block_size : (start + j + 1) * block_size]
         syms[: len(chunk), j] = chunk
         lengths[j] = len(chunk)
+    # cap matches turbo_compress: raw fallback (checked on nwords before
+    # slicing) makes lanes needing more than block_size//2 words immaterial
     words, nwords = o0c_encode_fused(
         jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
-        block_size + 2,
+        block_size // 2 + 3,
     )
     words, nwords = np.asarray(words), np.asarray(nwords)
     out = []
     for j in range(nblk):
-        payload = words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
         raw = syms[: lengths[j], j].astype(np.uint8).tobytes()
-        if len(payload) >= len(raw) and len(raw) > 0:
+        if 2 * int(nwords[j]) >= len(raw) and len(raw) > 0:
             out.append((int(lengths[j]), 0, raw))
         else:
+            payload = words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
             out.append((int(lengths[j]), int(lengths[j]), payload))
     return out
 

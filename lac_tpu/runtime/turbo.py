@@ -71,19 +71,24 @@ def turbo_compress(
                 chunk = arr[i * block_size : (i + 1) * block_size]
                 syms[: len(chunk), j] = chunk
                 lengths[j] = len(chunk)
+        # cap at block_size//2+3: any lane needing more words than that has
+        # payload >= raw and is stored raw below (checked on nwords BEFORE
+        # slicing, so truncation of its word list is immaterial)
+        cap = block_size // 2 + 3
         words, nwords = o0c_encode_fused(
-            jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
-            block_size + 2,
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate, cap
         )
         words, nwords = np.asarray(words), np.asarray(nwords)
         for j in range(min(wave, nblocks - done)):
-            payload = words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
             raw = syms[: lengths[j], j].astype(np.uint8).tobytes()
-            if len(payload) >= len(raw) and len(raw) > 0:
+            if 2 * int(nwords[j]) >= len(raw) and len(raw) > 0:
                 # raw fallback: token_count 0 marks an uncoded block, which
                 # bounds expansion on incompressible data at ~1.0x
                 blocks.append(BlockEntry(int(lengths[j]), 0, raw))
             else:
+                payload = (
+                    words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
+                )
                 blocks.append(BlockEntry(int(lengths[j]), int(lengths[j]), payload))
         done += wave
     header = ContainerHeader(
