@@ -79,6 +79,32 @@ def main() -> int:
 
     te = med(lambda: encode(syms_d)[1])
     td = med(lambda: o0c_rans32_decode(words, lengths, T, V, PB, RATE))
+
+    # LM-path throughput (flagship capability): lock-step coding with the
+    # ~20M-param byte LM preset, B lanes in one jitted scan
+    import dataclasses as _dc
+
+    from lac_tpu.models.lm_registry import resolve_lm
+    from lac_tpu.runtime.lm_engine import lm_decode, lm_encode
+
+    cfg, params = resolve_lm("prng:byte-12l:0", max_seq=256)
+    lb, lt = 256, 256
+    ltoks = np.frombuffer(data[: lb * lt], dtype=np.uint8).reshape(lb, lt).astype(np.int32)
+    llens = np.full((lb,), lt, np.int32)
+    lw, lnw = lm_encode(cfg, params, ltoks, llens, PB)
+    jnp.sum(lnw).block_until_ready(); int(jnp.sum(lnw))
+    t0 = time.perf_counter()
+    lw, lnw = lm_encode(cfg, params, ltoks, llens, PB)
+    int(jnp.sum(lnw))
+    lm_enc_tps = lb * lt / (time.perf_counter() - t0)
+    lwn = np.asarray(lw)
+    ld = lm_decode(cfg, params, lwn, llens, PB, lt)
+    int(jnp.sum(ld))
+    t0 = time.perf_counter()
+    ld = lm_decode(cfg, params, lwn, llens, PB, lt)
+    int(jnp.sum(ld))
+    lm_dec_tps = lb * lt / (time.perf_counter() - t0)
+    assert (np.asarray(ld) == ltoks).all(), "LM round-trip mismatch"
     enc_mbs, dec_mbs = n_mb / te, n_mb / td
     combined = 2 * n_mb / (te + td)
     baseline = 0.013  # reference-class pure-Python coder, MB/s
@@ -94,6 +120,8 @@ def main() -> int:
             "corpus_MiB": round(len(data) / (1 << 20), 2),
             "lanes": B,
             "block": T,
+            "lm_byte12l_encode_tok_s": round(lm_enc_tps, 0),
+            "lm_byte12l_decode_tok_s": round(lm_dec_tps, 0),
         },
     }))
     return 0
