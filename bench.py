@@ -36,7 +36,7 @@ def main() -> int:
     from lac_tpu.runtime.turbo import turbo_compress, turbo_decompress
 
     V, PB, RATE = 256, 16, 4
-    B, T = 2048, 1024  # T=2048 blows the 16MB scoped-VMEM in the intervals kernel
+    B, T = 32768, 1024  # 4x 2048-lane sub-kernels per dispatch (one executable)
     data = build_corpus(B * T)
     n_mb = len(data) / 1e6
 

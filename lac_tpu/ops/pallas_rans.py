@@ -268,15 +268,29 @@ def compact_words(dense: jax.Array, xfin: jax.Array, cap: int):
     return words_t.T, nwords
 
 
+_MAX_KERNEL_LANES = 2048  # wider single kernels crash the Mosaic compiler
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def o0c_encode_fused(syms_tb: jax.Array, lengths: jax.Array, v: int, prob_bits: int,
                      rate: int, cap: int):
     """All three encode stages in ONE executable. The per-executable dispatch
     on the driver's TPU tunnel is ~3ms (measured, v5e via axon); fusing the
-    stages saves two dispatches per wave. lengths: [1, B]."""
-    lo, fr = o0c_encode_intervals(syms_tb, v, prob_bits, rate)
-    dense, xfin = rans32_encode_dense(lo, fr, lengths, prob_bits)
-    return compact_words(dense, xfin, cap)
+    stages saves two dispatches per wave, and lane counts beyond the
+    per-kernel maximum are split into sub-kernels INSIDE the executable so
+    one dispatch covers arbitrarily wide waves. lengths: [1, B]."""
+    b = syms_tb.shape[1]
+    words, nwords = [], []
+    for c0 in range(0, b, _MAX_KERNEL_LANES):
+        c1 = min(c0 + _MAX_KERNEL_LANES, b)
+        lo, fr = o0c_encode_intervals(syms_tb[:, c0:c1], v, prob_bits, rate)
+        dense, xfin = rans32_encode_dense(lo, fr, lengths[:, c0:c1], prob_bits)
+        w, nw = compact_words(dense, xfin, cap)
+        words.append(w)
+        nwords.append(nw)
+    if len(words) == 1:
+        return words[0], nwords[0]
+    return jnp.concatenate(words, axis=0), jnp.concatenate(nwords, axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -463,9 +477,21 @@ def o0c_rans32_decode(
     words: jax.Array, lengths: jax.Array, t_len: int, v: int, prob_bits: int, rate: int
 ):
     """words: [B, cap] u32 (16-bit values, decode order); lengths [B].
-    Returns syms [T, B]. Single fused kernel when (cap, B) fits VMEM;
-    chunked kernel with window re-gather otherwise."""
+    Returns syms [T, B]. Single fused kernel when (cap, B) fits VMEM —
+    lane counts beyond the per-kernel maximum run as sub-kernels inside this
+    one executable; falls back to the chunked kernel with window re-gather
+    for oversized caps."""
     b, cap = words.shape
+    if b > _MAX_KERNEL_LANES and _fused_vmem_ok(cap, _MAX_KERNEL_LANES, v):
+        outs = [
+            _decode_fused(
+                words[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                lengths[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                t_len, v, prob_bits, rate,
+            )
+            for c0 in range(0, b, _MAX_KERNEL_LANES)
+        ]
+        return jnp.concatenate(outs, axis=1)
     if _fused_vmem_ok(cap, b, v):
         return _decode_fused(words, lengths, t_len, v, prob_bits, rate)
     n_chunks = -(-t_len // _FIFO)

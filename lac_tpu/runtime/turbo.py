@@ -31,7 +31,7 @@ from ..stream.container import (
 
 __all__ = ["turbo_compress", "turbo_decompress", "turbo_decompress_blocks", "MAX_WAVE"]
 
-MAX_WAVE = 2048  # lanes per kernel invocation (VMEM bound at T=1024)
+MAX_WAVE = 8192  # lanes per dispatch (split into <=2048-lane sub-kernels inside one executable)
 _DEFAULT_BLOCK = 1024
 _DEFAULT_RATE = 4  # base of the adaptive schedule (must match dist/bench)
 _PB = 16
