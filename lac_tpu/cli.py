@@ -117,6 +117,24 @@ def _cmd_bench(args) -> int:
     return 0 if ok else 1
 
 
+def _cmd_train(args) -> int:
+    """Train a byte LM on FILE and save a checkpoint usable as
+    --model lm --model-ref file:<output>."""
+    from .models.lm_registry import PRESETS
+    from .train import save_checkpoint, train_byte_lm
+
+    corpus = open(args.file, "rb").read()
+    cfg = PRESETS[args.preset]()
+    params, losses = train_byte_lm(
+        cfg, corpus, steps=args.steps, batch=args.batch, seq=args.seq,
+        lr=args.lr, seed=args.seed, log_every=max(1, args.steps // 20),
+    )
+    save_checkpoint(args.output, cfg, params)
+    print(f"saved {args.output} (final loss {losses[-1]:.4f} nats, "
+          f"{losses[-1] / 0.6931:.3f} bits/byte train)")
+    return 0
+
+
 def _cmd_info(args) -> int:
     from .stream.container import read_container
 
@@ -159,6 +177,17 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="check per-block checksums of a .lac container")
     v.add_argument("file")
     v.set_defaults(fn=_cmd_verify)
+
+    t = sub.add_parser("train", help="train a byte LM on FILE for the lm coding path")
+    t.add_argument("file")
+    t.add_argument("-o", "--output", default="byte_lm.npz")
+    t.add_argument("--preset", default="byte-6l")
+    t.add_argument("--steps", type=int, default=2000)
+    t.add_argument("--batch", type=int, default=32)
+    t.add_argument("--seq", type=int, default=256)
+    t.add_argument("--lr", type=float, default=3e-4)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(fn=_cmd_train)
 
     b = sub.add_parser("bench", help="round-trip benchmark on FILE")
     b.add_argument("file")

@@ -35,6 +35,10 @@ PRESETS = {
         vocab=256, d_model=384, n_layers=12, n_heads=6, n_kv_heads=6,
         d_ff=1536, max_seq=1024, dtype=jnp.bfloat16,   # byte-level config)
     ),
+    "byte-6l": lambda: LMConfig(           # ~6M-param byte LM: small enough
+        vocab=256, d_model=256, n_layers=6, n_heads=4, n_kv_heads=4,
+        d_ff=1024, max_seq=1024, dtype=jnp.bfloat16,   # to ship trained
+    ),
     "gpt2": lambda: tfm.GPT2_SMALL,
     "tinyllama": lambda: tfm.TINYLLAMA_1B,
     "llama2-7b": lambda: tfm.LLAMA2_7B,
@@ -61,4 +65,11 @@ def resolve_lm(model_ref: str, max_seq: int | None = None):
         if max_seq is not None:
             cfg = dataclasses.replace(cfg, max_seq=max_seq)
         return cfg, params
-    raise KeyError(f"unknown model_ref kind '{kind}' (want prng: or hf:)")
+    if kind == "file":
+        from ..train import load_checkpoint
+
+        cfg, params = load_checkpoint(rest)
+        if max_seq is not None:
+            cfg = dataclasses.replace(cfg, max_seq=max_seq)
+        return cfg, params
+    raise KeyError(f"unknown model_ref kind '{kind}' (want prng:, hf: or file:)")
