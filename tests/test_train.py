@@ -68,3 +68,28 @@ def test_file_model_ref_coding_roundtrip(tmp_path, trained):
     assert lm_decompress_bytes(c) == data
     # trained on this distribution: must compress well below raw
     assert len(c) < len(data) * 0.8
+
+
+class TestShippedCheckpoint:
+    """The in-repo trained byte-6l checkpoint must load, round-trip, and
+    beat the order-0 codec's ratio decisively on held-out text."""
+
+    PATH = "/root/repo/checkpoints/byte6l-pysrc.npz"
+
+    def test_loads_and_compresses_heldout(self):
+        import glob
+        import os
+
+        from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+
+        if not os.path.exists(self.PATH):
+            pytest.skip("checkpoint not built")
+        files = sorted(glob.glob("/usr/lib/python3.11/**/*.py", recursive=True))
+        held = [f for i, f in enumerate(files) if i % 13 == 0]
+        data = b"".join(open(f, "rb").read() for f in held)[:16384]
+        c = lm_compress_bytes(
+            data, model_ref=f"file:{self.PATH}", block_tokens=512, lanes=8
+        )
+        assert lm_decompress_bytes(c) == data
+        bpb = 8 * len(c) / len(data)
+        assert bpb < 3.0, f"trained model should beat order0 (~4.7): {bpb}"
