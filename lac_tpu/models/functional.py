@@ -229,30 +229,39 @@ class MarkovDecay(ScanModel):
 # keeps everything in int32 (requires prob_bits <= 16).
 # --------------------------------------------------------------------------
 
-CDF_STATE_BITS = 15
-_CDF_TOTAL = 1 << CDF_STATE_BITS
+# The state lives DIRECTLY in the coder's fixed-point domain: state[j] is
+# the j'th CDF boundary in [0, 2**prob_bits - V], and the coder CDF is just
+# state + iota (the +j term provides the >=1-width guard). Keeping the state
+# pre-scaled removes a [V, B] multiply+shift from every kernel step compared
+# to a separate model domain; the shift-to-target update preserves
+# monotonicity and the [0, M] range, so every symbol width stays >= 1.
+CDF_STATE_BITS = 15  # retained for capacity docs; the domain is pb-derived
 
 
-def cdf_state_init(batch: int, v: int) -> jnp.ndarray:
-    """Uniform initial state: [B, V+1] int32 with fixed endpoints."""
+def _cdf_m(prob_bits: int, v: int) -> int:
+    return (1 << prob_bits) - v
+
+
+def cdf_state_init(batch: int, v: int, prob_bits: int = 16) -> jnp.ndarray:
+    """Uniform initial state: [B, V+1] int32 with fixed endpoints 0, M."""
     j = jnp.arange(v + 1, dtype=jnp.int32)
-    row = (j * _CDF_TOTAL) // v
+    row = (j * _cdf_m(prob_bits, v)) // v
     return jnp.broadcast_to(row, (batch, v + 1))
 
 
 def cdf_state_to_coder(state: jnp.ndarray, prob_bits: int, v: int) -> jnp.ndarray:
     """[B, V+1] state -> [B, V+1] coder CDF with total 2**prob_bits and
-    every width >= 1 (multiply + shift + iota, division-free)."""
-    m = jnp.int32((1 << prob_bits) - v)
+    every width >= 1 (a single iota add: the state is pre-scaled)."""
     j = jnp.arange(v + 1, dtype=jnp.int32)
-    return ((state * m) >> CDF_STATE_BITS) + j
+    return state + j
 
 
-def cdf_state_update(state: jnp.ndarray, syms: jnp.ndarray, rate, v: int):
+def cdf_state_update(state: jnp.ndarray, syms: jnp.ndarray, rate, v: int,
+                     prob_bits: int = 16):
     """Move boundaries toward the observed symbol's one-hot CDF."""
     k = jnp.arange(v + 1, dtype=jnp.int32)[None, :]
     toward_zero = state - (state >> rate)
-    toward_total = state + ((_CDF_TOTAL - state) >> rate)
+    toward_total = state + ((_cdf_m(prob_bits, v) - state) >> rate)
     return jnp.where(k <= syms[:, None], toward_zero, toward_total)
 
 
@@ -278,7 +287,10 @@ class Order0CDF(ScanModel):
     rate: int = 4
 
     def init_state(self, batch: int):
-        return (cdf_state_init(batch, self.vocab), jnp.zeros((), jnp.int32))
+        return (
+            cdf_state_init(batch, self.vocab, self.prob_bits),
+            jnp.zeros((), jnp.int32),
+        )
 
     def cdf(self, state):
         return cdf_state_to_coder(state[0], self.prob_bits, self.vocab)
@@ -286,7 +298,10 @@ class Order0CDF(ScanModel):
     def update(self, state, syms):
         cdf, step = state
         r = adaptive_rate(self.rate, step)
-        return (cdf_state_update(cdf, syms, r, self.vocab), step + 1)
+        return (
+            cdf_state_update(cdf, syms, r, self.vocab, self.prob_bits),
+            step + 1,
+        )
 
 
 @dataclass(frozen=True)
@@ -297,7 +312,7 @@ class MarkovCDF(ScanModel):
     rate: int = 4
 
     def init_state(self, batch: int):
-        row = cdf_state_init(1, self.vocab)[0]
+        row = cdf_state_init(1, self.vocab, self.prob_bits)[0]
         table = jnp.broadcast_to(row, (batch, self.vocab, self.vocab + 1))
         counts = jnp.zeros((batch, self.vocab), jnp.int32)
         return (table, jnp.zeros((batch,), jnp.int32), counts)
@@ -312,7 +327,7 @@ class MarkovCDF(ScanModel):
         row = jnp.take_along_axis(table, prev[:, None, None], axis=1)[:, 0, :]
         cnt = jnp.take_along_axis(counts, prev[:, None], axis=1)  # [B, 1]
         r = adaptive_rate(self.rate, cnt)  # per-lane rate column
-        row = cdf_state_update(row, syms, r, self.vocab)
+        row = cdf_state_update(row, syms, r, self.vocab, self.prob_bits)
         b = table.shape[0]
         lane = jnp.arange(b)
         table = table.at[lane, prev].set(row)

@@ -7,8 +7,9 @@ state lives in VMEM for the whole block and each step is a handful of
 vectorized mask/shift/reduce ops.
 
 Model: the shift-to-target CDF predictor (models.functional.Order0CDF) —
-state IS the cdf (total 2**15), coder map is multiply+shift, update is two
-shifts and a select. No division, no cumsum, no gather in the model.
+the state IS the coder CDF, pre-scaled in [0, 2**pb - V] (coder cdf =
+state + k), update is two shifts and a select. No division, no cumsum, no
+multiply, no gather in the model.
 
 Coder: rANS-32/16 (coder.rans spec) — u32 state fits Mosaic's 32-bit lanes,
 <=1 16-bit word in/out per symbol.
@@ -34,7 +35,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.functional import CDF_STATE_BITS
 
 __all__ = [
     "o0c_encode_intervals",
@@ -45,7 +45,6 @@ __all__ = [
     "SENTINEL",
 ]
 
-_CDF_TOTAL = 1 << CDF_STATE_BITS
 SENTINEL = 0xFFFFFFFF  # plain int: traced constants would be captured by kernels
 _FIFO = 128
 
@@ -61,8 +60,15 @@ def _iota_vb(v: int, b: int) -> jnp.ndarray:
     return lax.broadcasted_iota(jnp.int32, (v, b), 0)
 
 
-def _state_init_vb(v: int, b: int) -> jnp.ndarray:
-    return (_iota_vb(v, b) * _CDF_TOTAL) // v
+def _cdf_m(prob_bits: int, v: int) -> int:
+    # the state lives pre-scaled in [0, M]; coder cdf = state + k (see
+    # models.functional — removing the per-step multiply+shift was measured
+    # at ~10% of the decode kernel)
+    return (1 << prob_bits) - v
+
+
+def _state_init_vb(v: int, b: int, prob_bits: int) -> jnp.ndarray:
+    return (_iota_vb(v, b) * _cdf_m(prob_bits, v)) // v
 
 
 def _rate_at(base_rate: int, t) -> jnp.ndarray:
@@ -78,13 +84,13 @@ def _rate_at(base_rate: int, t) -> jnp.ndarray:
     )
 
 
-def _state_update_vb(state, s_row, rate, v: int, b: int):
-    """state [V, B]; s_row [1, B]: move toward the one-hot cdf of s.
-    rate: static int or traced i32 scalar."""
-    k = _iota_vb(v, b)
+def _state_update_vb(state, m_le, rate, v: int, prob_bits: int):
+    """state [V, B]; m_le [V, B] bool (k <= coded symbol): move toward the
+    one-hot cdf. rate: static int, traced i32 scalar, or [1, B] row (a row
+    of 31 makes the update an exact no-op for masked-off lanes)."""
     toward_zero = state - (state >> rate)
-    toward_total = state + ((_CDF_TOTAL - state) >> rate)
-    return jnp.where(k <= s_row, toward_zero, toward_total)
+    toward_total = state + ((_cdf_m(prob_bits, v) - state) >> rate)
+    return jnp.where(m_le, toward_zero, toward_total)
 
 
 # --------------------------------------------------------------------------
@@ -94,26 +100,29 @@ def _state_update_vb(state, s_row, rate, v: int, b: int):
 
 def _intervals_kernel(syms_ref, lo_ref, fr_ref, state_ref, *, v, prob_bits, rate, chunk):
     b = state_ref.shape[1]
-    m_scale = jnp.int32((1 << prob_bits) - v)
+    m_total = jnp.int32(_cdf_m(prob_bits, v))
     pid = pl.program_id(0)  # hoisted: not available inside fori bodies in interpret mode
 
     @pl.when(pid == 0)
     def _():
-        state_ref[:] = _state_init_vb(v, b)
+        state_ref[:] = _state_init_vb(v, b, prob_bits)
 
     def body(i, _):
         t = pid * chunk + i
         s = syms_ref[pl.ds(i, 1), :]  # [1, B]
         state = state_ref[:]
         k = _iota_vb(v, b)
-        st_s = jnp.max(jnp.where(k == s, state, 0), axis=0, keepdims=True)
-        st_s1 = jnp.max(jnp.where(k == s + 1, state, 0), axis=0, keepdims=True)
-        lo = ((st_s * m_scale) >> CDF_STATE_BITS) + s
-        hi_in = ((st_s1 * m_scale) >> CDF_STATE_BITS) + s + 1
-        hi = jnp.where(s + 1 >= v, jnp.int32(1 << prob_bits), hi_in)
+        # one mask serves extraction AND the update; state monotone in k, so
+        # max under k<=s picks state[s], min over k>s picks state[s+1] (the
+        # empty s=v-1 case falls out as M, making hi = M+v = 2**pb exactly)
+        m_le = k <= s
+        st_s = jnp.max(jnp.where(m_le, state, 0), axis=0, keepdims=True)
+        st_s1 = jnp.min(jnp.where(m_le, m_total, state), axis=0, keepdims=True)
+        lo = st_s + s
+        hi = st_s1 + s + 1
         lo_ref[pl.ds(i, 1), :] = lo
         fr_ref[pl.ds(i, 1), :] = hi - lo
-        state_ref[:] = _state_update_vb(state, s, _rate_at(rate, t), v, b)
+        state_ref[:] = _state_update_vb(state, m_le, _rate_at(rate, t), v, prob_bits)
         return 0
 
     lax.fori_loop(0, chunk, body, 0)
@@ -312,7 +321,6 @@ def _decode_fused_kernel(
     *, v, prob_bits, rate, cap,
 ):
     b = state_scr.shape[1]
-    m_scale = jnp.int32((1 << prob_bits) - v)
     mask_pb = jnp.uint32((1 << prob_bits) - 1)
     pid = pl.program_id(0)
     k = _iota_vb(v, b)
@@ -322,7 +330,7 @@ def _decode_fused_kernel(
         w = words_ref[:]
         x_scr[:] = (w[0:1, :] << 16) | w[1:2, :]
         wbuf[:] = pltpu.roll(w, cap - 2, axis=0)  # rows 0,1 consumed by init
-        state_scr[:] = _state_init_vb(v, b)
+        state_scr[:] = _state_init_vb(v, b, prob_bits)
 
     t0 = pid * _FIFO
     lengths = len_ref[:]  # [1, B]
@@ -330,9 +338,9 @@ def _decode_fused_kernel(
     def body(i, carry):
         state, x, wb = carry
         active = (t0 + i) < lengths
-        eff = ((state * m_scale) >> CDF_STATE_BITS) + k  # [V, B]
+        eff = state + k  # [V, B] (state pre-scaled; +k is the width guard)
         slot = (x & mask_pb).astype(jnp.int32)
-        m = eff <= slot
+        m = eff <= slot  # == (k <= decoded symbol): eff strictly increasing
         s = jnp.sum(m, axis=0, keepdims=True, dtype=jnp.int32) - 1
         lo = jnp.max(jnp.where(m, eff, 0), axis=0, keepdims=True)
         hi = jnp.min(
@@ -345,9 +353,10 @@ def _decode_fused_kernel(
         x_new = jnp.where(refill, (x_new << 16) | w, x_new)
         wb = jnp.where(refill, pltpu.roll(wb, cap - 1, axis=0), wb)
         syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
-        state = jnp.where(
-            active, _state_update_vb(state, s, _rate_at(rate, t0 + i), v, b), state
-        )
+        # inactive lanes: rate 31 makes the update an exact no-op (cheaper
+        # than a [V, B] select on `active`)
+        rate_row = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
+        state = _state_update_vb(state, m, rate_row, v, prob_bits)
         return state, jnp.where(active, x_new, x), wb
 
     st, x, wb = lax.fori_loop(
@@ -407,7 +416,6 @@ def _decode_chunk_kernel(
     *, v, prob_bits, rate,
 ):
     b = state_in.shape[1]
-    m_scale = jnp.int32((1 << prob_bits) - v)
     mask_pb = jnp.uint32((1 << prob_bits) - 1)
     t0 = t0_ref[0]
     lengths = len_ref[:]  # [1, B]
@@ -416,7 +424,7 @@ def _decode_chunk_kernel(
     def body(i, carry):
         state, x, fifo, c = carry
         active = (t0 + i) < lengths  # [1, B]
-        eff = ((state * m_scale) >> CDF_STATE_BITS) + k  # [V, B]
+        eff = state + k  # [V, B] (state pre-scaled)
         slot = (x & mask_pb).astype(jnp.int32)  # [1, B]
         m = eff <= slot
         s = jnp.sum(m, axis=0, keepdims=True, dtype=jnp.int32) - 1  # [1, B]
@@ -432,9 +440,8 @@ def _decode_chunk_kernel(
         # consume: roll rows up by one where refilled (shift must be >= 0)
         fifo = jnp.where(refill, pltpu.roll(fifo, _FIFO - 1, axis=0), fifo)
         syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
-        state = jnp.where(
-            active, _state_update_vb(state, s, _rate_at(rate, t0 + i), v, b), state
-        )
+        rate_row = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
+        state = _state_update_vb(state, m, rate_row, v, prob_bits)
         return (
             state,
             jnp.where(active, x_new, x),
@@ -495,7 +502,7 @@ def o0c_rans32_decode(
     if _fused_vmem_ok(cap, b, v):
         return _decode_fused(words, lengths, t_len, v, prob_bits, rate)
     n_chunks = -(-t_len // _FIFO)
-    state0 = _state_init_vb(v, b)
+    state0 = _state_init_vb(v, b, prob_bits)
     x0 = ((words[:, 0] << 16) | words[:, 1])[None, :]
     pos0 = jnp.full((b,), 2, dtype=jnp.int32)
     len_row = lengths[None, :].astype(jnp.int32)

@@ -18,31 +18,30 @@
 
 namespace {
 
-constexpr int SB = 15;              // CDF_STATE_BITS
-constexpr int32_t TOTAL = 1 << SB;  // model state total
 constexpr int V = 256;
 
 inline int rate_at(int base, int t) {
   return base + (t >= 16) + (t >= 32) + (t >= 64) + (t >= 128);
 }
 
+// The model state lives pre-scaled in the coder domain [0, M = 2^pb - V];
+// coder cdf boundary of symbol k is st[k] + k (matches models.functional
+// and ops/pallas_rans after the pre-scaled-state spec change).
 struct Model {
-  int32_t st[V];  // st[0] == 0 always; implicit st[V] == TOTAL
-  void init() {
-    for (int k = 0; k < V; k++) st[k] = (int32_t)(((int64_t)k << SB) / V);
+  int32_t st[V];  // st[0] == 0 always; implicit st[V] == M
+  void init(int32_t M) {
+    for (int k = 0; k < V; k++) st[k] = (int32_t)(((int64_t)k * M) / V);
   }
-  void update(int sym, int r) {
+  void update(int sym, int r, int32_t M) {
     for (int k = 0; k <= sym; k++) st[k] -= st[k] >> r;
-    for (int k = sym + 1; k < V; k++) st[k] += (TOTAL - st[k]) >> r;
+    for (int k = sym + 1; k < V; k++) st[k] += (M - st[k]) >> r;
   }
 };
 
 inline void interval_of(const Model& m, int sym, int32_t M, int pb,
                         int32_t* lo, int32_t* fr) {
-  int32_t ss = m.st[sym];
-  int32_t l = ((ss * M) >> SB) + sym;
-  int32_t h = (sym + 1 >= V) ? (int32_t)(1 << pb)
-                             : (((m.st[sym + 1] * M) >> SB) + sym + 1);
+  int32_t l = m.st[sym] + sym;
+  int32_t h = (sym + 1 >= V) ? (int32_t)(1 << pb) : (m.st[sym + 1] + sym + 1);
   *lo = l;
   *fr = h - l;
 }
@@ -58,10 +57,10 @@ int o0c_encode_block(const uint8_t* data, int n, int rate, int pb,
   const int32_t M = (int32_t)((1 << pb) - V);
   std::vector<int32_t> lo(n), fr(n);
   Model m;
-  m.init();
+  m.init(M);
   for (int t = 0; t < n; t++) {
     interval_of(m, data[t], M, pb, &lo[t], &fr[t]);
-    m.update(data[t], rate_at(rate, t));
+    m.update(data[t], rate_at(rate, t), M);
   }
   // reverse-order rANS-32/16
   std::vector<uint16_t> emitted;  // emission order (t descending)
@@ -89,7 +88,7 @@ void o0c_decode_block(const uint16_t* words, int n, int rate, int pb,
   const int32_t M = (int32_t)((1 << pb) - V);
   const uint32_t mask = (1u << pb) - 1;
   Model m;
-  m.init();
+  m.init(M);
   uint32_t x = ((uint32_t)words[0] << 16) | words[1];
   int pos = 2;
   for (int t = 0; t < n; t++) {
@@ -98,7 +97,7 @@ void o0c_decode_block(const uint16_t* words, int n, int rate, int pb,
     int lo_k = 0, hi_k = V;  // invariant: eff(lo_k) <= slot < eff(hi_k)
     while (hi_k - lo_k > 1) {
       int mid = (lo_k + hi_k) >> 1;
-      int32_t eff = ((m.st[mid] * M) >> SB) + mid;
+      int32_t eff = m.st[mid] + mid;
       if (eff <= slot)
         lo_k = mid;
       else
@@ -110,7 +109,7 @@ void o0c_decode_block(const uint16_t* words, int n, int rate, int pb,
     x = (uint32_t)f * (x >> pb) + (uint32_t)(slot - l);
     if (x < (1u << 16)) x = (x << 16) | words[pos++];
     out[t] = (uint8_t)s;
-    m.update(s, rate_at(rate, t));
+    m.update(s, rate_at(rate, t), M);
   }
 }
 
