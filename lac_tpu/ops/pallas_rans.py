@@ -317,9 +317,13 @@ def o0c_encode_fused(syms_tb: jax.Array, lengths: jax.Array, v: int, prob_bits: 
 
 
 def _decode_fused_kernel(
-    words_ref, len_ref, syms_ref, wbuf, state_scr, x_scr,
-    *, v, prob_bits, rate, cap,
+    words_ref, len_ref, syms_ref, wbuf, state_scr, x_scr, par_scr,
+    *, v, prob_bits, rate, cap2,
 ):
+    """The word streams arrive PAIR-PACKED: one u32 row holds two 16-bit
+    words (high half first). A per-lane parity tracks which half is next, so
+    the shift-register roll — the kernel's main non-search cost — runs on
+    half the rows and only advances when a lane's low half is consumed."""
     b = state_scr.shape[1]
     mask_pb = jnp.uint32((1 << prob_bits) - 1)
     pid = pl.program_id(0)
@@ -328,15 +332,16 @@ def _decode_fused_kernel(
     @pl.when(pid == 0)
     def _():
         w = words_ref[:]
-        x_scr[:] = (w[0:1, :] << 16) | w[1:2, :]
-        wbuf[:] = pltpu.roll(w, cap - 2, axis=0)  # rows 0,1 consumed by init
+        x_scr[:] = w[0:1, :]  # row 0 = (x_hi << 16) | x_lo already
+        wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)  # row 0 consumed by init
+        par_scr[:] = jnp.zeros_like(par_scr)
         state_scr[:] = _state_init_vb(v, b, prob_bits)
 
     t0 = pid * _FIFO
     lengths = len_ref[:]  # [1, B]
 
     def body(i, carry):
-        state, x, wb = carry
+        state, x, wb, par = carry
         active = (t0 + i) < lengths
         eff = state + k  # [V, B] (state pre-scaled; +k is the width guard)
         slot = (x & mask_pb).astype(jnp.int32)
@@ -349,57 +354,68 @@ def _decode_fused_kernel(
         fr = (hi - lo).astype(jnp.uint32)
         x_new = fr * (x >> prob_bits) + (slot - lo).astype(jnp.uint32)
         refill = active & (x_new < jnp.uint32(1 << 16))
-        w = wb[0:1, :]
+        row = wb[0:1, :]
+        w = jnp.where(par == 0, row >> 16, row & jnp.uint32(0xFFFF))
         x_new = jnp.where(refill, (x_new << 16) | w, x_new)
-        wb = jnp.where(refill, pltpu.roll(wb, cap - 1, axis=0), wb)
+        advance = refill & (par == 1)
+        par = jnp.where(refill, 1 - par, par)
+        wb = jnp.where(advance, pltpu.roll(wb, cap2 - 1, axis=0), wb)
         syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
         # inactive lanes: rate 31 makes the update an exact no-op (cheaper
         # than a [V, B] select on `active`)
         rate_row = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
         state = _state_update_vb(state, m, rate_row, v, prob_bits)
-        return state, jnp.where(active, x_new, x), wb
+        return state, jnp.where(active, x_new, x), wb, par
 
-    st, x, wb = lax.fori_loop(
-        0, _FIFO, body, (state_scr[:], x_scr[:], wbuf[:])
+    st, x, wb, par = lax.fori_loop(
+        0, _FIFO, body, (state_scr[:], x_scr[:], wbuf[:], par_scr[:])
     )
     state_scr[:] = st
     x_scr[:] = x
     wbuf[:] = wb
+    par_scr[:] = par
 
 
 _FUSED_VMEM_LIMIT = 64 * 1024 * 1024  # v5e VMEM is 128MB; default scoped limit 16MB
 
 
 def _fused_vmem_ok(cap: int, b: int, v: int) -> bool:
-    # words input block + wbuf scratch + fori-carry copies + roll temp
-    # (~2x the live set, measured) + model state (x2) + syms out block
-    need = 4 * (5 * cap * b + 3 * v * b + 2 * _FIFO * b + 16 * b)
+    # packed words input block + wbuf scratch + fori-carry copies + roll
+    # temp (~2x the live set, measured) + model state (x2) + syms out block
+    cap2 = (cap + 1) // 2
+    need = 4 * (5 * cap2 * b + 3 * v * b + 2 * _FIFO * b + 16 * b)
     return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
 
 
 def _decode_fused(words, lengths, t_len, v, prob_bits, rate):
     b, cap = words.shape
     n_chunks = -(-t_len // _FIFO)
+    cap2 = (cap + 1) // 2
+    wt = words.T
+    if cap % 2:
+        wt = jnp.concatenate([wt, jnp.zeros((1, b), wt.dtype)], axis=0)
+    packed = (wt[0::2] << 16) | wt[1::2]
     kern = functools.partial(
-        _decode_fused_kernel, v=v, prob_bits=prob_bits, rate=rate, cap=cap
+        _decode_fused_kernel, v=v, prob_bits=prob_bits, rate=rate, cap2=cap2
     )
     syms = pl.pallas_call(
         kern,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((cap, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap2, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_FIFO, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((cap, b), jnp.uint32),
+            pltpu.VMEM((cap2, b), jnp.uint32),
             pltpu.VMEM((v, b), jnp.int32),
             pltpu.VMEM((1, b), jnp.uint32),
+            pltpu.VMEM((1, b), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=_interp(),
-    )(words.T, lengths[None, :].astype(jnp.int32))
+    )(packed, lengths[None, :].astype(jnp.int32))
     return syms[:t_len]
 
 
