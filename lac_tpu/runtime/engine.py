@@ -33,7 +33,13 @@ from ..stream.container import (
 )
 from ..utils.jaxutil import x64
 
-__all__ = ["compress_bytes", "decompress_bytes", "encode_lanes", "decode_lanes"]
+__all__ = [
+    "compress_bytes",
+    "decompress_bytes",
+    "decompress_blocks",
+    "encode_lanes",
+    "decode_lanes",
+]
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -166,3 +172,33 @@ def decompress_bytes(container: bytes) -> bytes:
     if len(out) != header.original_len:
         raise ValueError("decoded length mismatch")
     return bytes(out)
+
+
+def decompress_blocks(container: bytes, indices) -> list[bytes]:
+    """Random-access decode of selected blocks (any codec). Blocks are
+    independent streams, so this is also the resume/recovery primitive:
+    re-decode exactly the blocks you need (e.g. the spans verify_container
+    flagged, or a byte range's covering blocks)."""
+    header, blocks = read_container(container)
+    if header.codec == CODEC_RANS32:
+        from .turbo import turbo_decompress_blocks
+
+        return turbo_decompress_blocks(container, indices)
+    if header.codec != CODEC_RANS64:
+        raise ValueError(f"unsupported codec {header.codec}")
+    cfg = dict(header.config)
+    block_size = cfg.pop("block_size")
+    model = get_scan_model(header.model_id, prob_bits=header.prob_bits, **cfg)
+    sel = [blocks[i] for i in indices]
+    cap = encode_capacity(block_size)
+    words = np.zeros((len(sel), cap), dtype=np.uint32)
+    lengths = np.zeros((len(sel),), dtype=np.int32)
+    for i, blk in enumerate(sel):
+        w = np.frombuffer(blk.payload, dtype=">u4").astype(np.uint32)
+        words[i, : len(w)] = w
+        lengths[i] = blk.token_count
+    syms = np.asarray(decode_lanes(words, lengths, model, block_size))
+    return [
+        syms[i, : blk.token_count].astype(np.uint8).tobytes()
+        for i, blk in enumerate(sel)
+    ]

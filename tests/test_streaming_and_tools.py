@@ -193,3 +193,12 @@ class TestBlockRandomAccess:
         got = turbo_decompress_blocks(c, [3, 0])
         assert got[0] == data[3 * 1024 : 4 * 1024]
         assert got[1] == data[0:1024]
+
+    def test_engine_decompress_blocks_rans64(self):
+        from lac_tpu.runtime.engine import compress_bytes, decompress_blocks
+
+        data = bytes(_rng(9).integers(0, 64, 7000, dtype=np.uint8))
+        c = compress_bytes(data, model_id="order0", block_size=2048)
+        got = decompress_blocks(c, [2, 0])
+        assert got[0] == data[2 * 2048 : 3 * 2048]
+        assert got[1] == data[0:2048]
