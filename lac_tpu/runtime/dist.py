@@ -26,6 +26,20 @@ from ..stream.container import (
 __all__ = ["compress_distributed", "decompress_distributed"]
 
 _PB = 16
+_RETRIES = 2
+
+
+def _with_retry(fn, what: str):
+    """Failure-recovery for device work (SURVEY.md §5): blocks are
+    independent, so a failed span is simply re-encoded/re-decoded; transient
+    device/tunnel errors retry with fresh dispatches before surfacing."""
+    last = None
+    for attempt in range(_RETRIES + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - re-raised after retries
+            last = e
+    raise RuntimeError(f"{what} failed after {_RETRIES + 1} attempts") from last
 
 
 def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: int):
@@ -64,7 +78,10 @@ def compress_distributed(data: bytes, block_size: int = 1024, rate: int = 4) -> 
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = max(1, -(-len(data) // block_size))
     start, end = my_block_span(nblocks)
-    mine = _encode_span(arr, start, end, block_size, rate)
+    mine = _with_retry(
+        lambda: _encode_span(arr, start, end, block_size, rate),
+        f"encode span [{start},{end})",
+    )
     # serialize (raw_len, token_count, payload) triplets for the gather
     packed = [
         raw_len.to_bytes(4, "little") + tc.to_bytes(4, "little") + pl
@@ -105,10 +122,14 @@ def decompress_distributed(container: bytes) -> bytes:
             w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
-        syms = np.asarray(
-            o0c_rans32_decode(
-                jnp.asarray(words), jnp.asarray(lengths), block_size, 256, _PB, rate
-            )
+        syms = _with_retry(
+            lambda: np.asarray(
+                o0c_rans32_decode(
+                    jnp.asarray(words), jnp.asarray(lengths), block_size, 256,
+                    _PB, rate,
+                )
+            ),
+            f"decode span [{start},{end})",
         )
     ci = 0
     for blk in span:
