@@ -42,6 +42,7 @@ PREDICTORS = [
         lambda: FSMPredictor(2, [([9, 1], [0, 1]), ([1, 9], [0, 1])]),
         2,
     ),
+    ("ppm", lambda: __import__("lac_tpu.models", fromlist=["PPM"]).PPM(6, order=2), 6),
 ]
 
 
