@@ -43,6 +43,11 @@ def lm_compress_bytes(
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
+    # quantization needs 2**pb >= 2*vocab (every symbol >=1 count with half
+    # the budget left for the distribution); auto-raise for large vocabs
+    # (e.g. GPT-2's 50257 -> 17). Travels in the header, so decode follows.
+    while (1 << prob_bits) < 2 * cfg.vocab:
+        prob_bits += 1
     arr = np.frombuffer(data, dtype=np.uint8)
     n = len(arr)
     nblocks = max(1, -(-n // block_tokens))
