@@ -288,14 +288,18 @@ def o0c_encode_fused(syms_tb: jax.Array, lengths: jax.Array, v: int, prob_bits: 
     stages saves two dispatches per wave, and lane counts beyond the
     per-kernel maximum are split into sub-kernels INSIDE the executable so
     one dispatch covers arbitrarily wide waves. lengths: [1, B]."""
+    # u8 symbols in / u16 words out: host<->device transfers ride the
+    # harness tunnel, which is bandwidth-bound — 4x/2x smaller wires than
+    # i32/u32 (casts happen on device)
     b = syms_tb.shape[1]
+    syms_tb = syms_tb.astype(jnp.int32)
     words, nwords = [], []
     for c0 in range(0, b, _MAX_KERNEL_LANES):
         c1 = min(c0 + _MAX_KERNEL_LANES, b)
         lo, fr = o0c_encode_intervals(syms_tb[:, c0:c1], v, prob_bits, rate)
         dense, xfin = rans32_encode_dense(lo, fr, lengths[:, c0:c1], prob_bits)
         w, nw = compact_words(dense, xfin, cap)
-        words.append(w)
+        words.append(w.astype(jnp.uint16))
         nwords.append(nw)
     if len(words) == 1:
         return words[0], nwords[0]
@@ -416,7 +420,7 @@ def _decode_fused(words, lengths, t_len, v, prob_bits, rate):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=_interp(),
     )(packed, lengths[None, :].astype(jnp.int32))
-    return syms[:t_len]
+    return syms[:t_len].astype(jnp.uint8)  # byte alphabet; small fetch wire
 
 
 # --------------------------------------------------------------------------
@@ -499,11 +503,13 @@ def _decode_chunk_call(fifo, state, x, lengths, t0, v, prob_bits, rate):
 def o0c_rans32_decode(
     words: jax.Array, lengths: jax.Array, t_len: int, v: int, prob_bits: int, rate: int
 ):
-    """words: [B, cap] u32 (16-bit values, decode order); lengths [B].
-    Returns syms [T, B]. Single fused kernel when (cap, B) fits VMEM —
+    """words: [B, cap] u16/u32 (16-bit values, decode order); lengths [B].
+    Returns syms [T, B] uint8. Single fused kernel when (cap, B) fits VMEM —
     lane counts beyond the per-kernel maximum run as sub-kernels inside this
     one executable; falls back to the chunked kernel with window re-gather
-    for oversized caps."""
+    for oversized caps. u16 in / u8 out keep the tunnel wires small; casts
+    are on-device."""
+    words = words.astype(jnp.uint32)
     b, cap = words.shape
     if b > _MAX_KERNEL_LANES and _fused_vmem_ok(cap, _MAX_KERNEL_LANES, v):
         outs = [
@@ -517,6 +523,7 @@ def o0c_rans32_decode(
         return jnp.concatenate(outs, axis=1)
     if _fused_vmem_ok(cap, b, v):
         return _decode_fused(words, lengths, t_len, v, prob_bits, rate)
+    # chunked fallback below returns i32
     n_chunks = -(-t_len // _FIFO)
     state0 = _state_init_vb(v, b, prob_bits)
     x0 = ((words[:, 0] << 16) | words[:, 1])[None, :]
@@ -537,4 +544,4 @@ def o0c_rans32_decode(
     _, syms = lax.scan(
         chunk_step, (state0, x0, pos0), jnp.arange(n_chunks, dtype=jnp.int32)
     )
-    return syms.reshape(n_chunks * _FIFO, b)[:t_len]
+    return syms.reshape(n_chunks * _FIFO, b)[:t_len].astype(jnp.uint8)

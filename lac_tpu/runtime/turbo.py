@@ -63,32 +63,37 @@ def turbo_compress(
     blocks: list[BlockEntry] = []
     done = 0
     for wave in _wave_sizes(nblocks):
-        syms = np.zeros((block_size, wave), dtype=np.int32)  # time-major
+        # vectorized wave assembly: full blocks land via one reshape; only a
+        # possible ragged tail block is copied separately. u8 on the wire —
+        # the harness tunnel is bandwidth-bound, so dtype width is host-path
+        # throughput (casts happen on device).
+        syms = np.zeros((block_size, wave), dtype=np.uint8)  # time-major
         lengths = np.zeros((wave,), dtype=np.int32)
-        for j in range(wave):
-            i = done + j
-            if i < nblocks:
-                chunk = arr[i * block_size : (i + 1) * block_size]
-                syms[: len(chunk), j] = chunk
-                lengths[j] = len(chunk)
+        span = arr[done * block_size : min((done + wave) * block_size, n)]
+        full = len(span) // block_size
+        syms[:, :full] = span[: full * block_size].reshape(full, block_size).T
+        lengths[:full] = block_size
+        if full < wave and full * block_size < len(span):
+            tail = span[full * block_size :]
+            syms[: len(tail), full] = tail
+            lengths[full] = len(tail)
         # cap at block_size//2+3: any lane needing more words than that has
         # payload >= raw and is stored raw below (checked on nwords BEFORE
         # slicing, so truncation of its word list is immaterial)
         cap = block_size // 2 + 3
-        words, nwords = o0c_encode_fused(
+        words_d, nwords_d = o0c_encode_fused(
             jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate, cap
         )
-        words, nwords = np.asarray(words), np.asarray(nwords)
+        words = np.asarray(words_d).astype(">u2")  # one pass, not per block
+        nwords = np.asarray(nwords_d)
         for j in range(min(wave, nblocks - done)):
-            raw = syms[: lengths[j], j].astype(np.uint8).tobytes()
+            raw = syms[: lengths[j], j].tobytes()
             if 2 * int(nwords[j]) >= len(raw) and len(raw) > 0:
                 # raw fallback: token_count 0 marks an uncoded block, which
                 # bounds expansion on incompressible data at ~1.0x
                 blocks.append(BlockEntry(int(lengths[j]), 0, raw))
             else:
-                payload = (
-                    words[j, : nwords[j]].astype(np.uint16).astype(">u2").tobytes()
-                )
+                payload = words[j, : nwords[j]].tobytes()
                 blocks.append(BlockEntry(int(lengths[j]), int(lengths[j]), payload))
         done += wave
     header = ContainerHeader(
@@ -124,29 +129,30 @@ def _decode_block_list(header, blocks) -> list[bytes]:
             c for c in (64, 128, 192, 256, 384, 512, 768, 1024, block_size + 2)
             if c >= max(maxw, 3)
         )
-        words = np.zeros((wave, cap), dtype=np.uint32)
+        words = np.zeros((wave, cap), dtype=np.uint16)  # u16 on the wire
         lengths = np.zeros((wave,), dtype=np.int32)
         any_coded = False
         for j in range(min(wave, nblocks - done)):
             blk = blocks[done + j]
             if blk.token_count == 0 and blk.raw_len > 0:
                 continue  # raw block: no decoding needed
-            w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
+            w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint16)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
             any_coded = True
         if any_coded:
             syms = np.asarray(
                 o0c_rans32_decode(
-                    jnp.asarray(words), jnp.asarray(lengths), block_size, 256, _PB, rate
+                    jnp.asarray(words), jnp.asarray(lengths), block_size, 256,
+                    _PB, rate,
                 )
-            )  # [T, wave]
+            )  # [T, wave] u8
         for j in range(min(wave, nblocks - done)):
             blk = blocks[done + j]
             if blk.token_count == 0 and blk.raw_len > 0:
                 results[done + j] = blk.payload
             else:
-                results[done + j] = syms[: lengths[j], j].astype(np.uint8).tobytes()
+                results[done + j] = syms[: lengths[j], j].tobytes()
         done += wave
     return results
 
