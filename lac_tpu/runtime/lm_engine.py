@@ -50,7 +50,9 @@ def _encode_intervals(cfg: LMConfig, params, tokens, lengths, prob_bits: int):
     """Forward pass over all positions collecting the coded symbols'
     (cdf_lo, freq). tokens [B, T] int32."""
     b = tokens.shape[0]
-    cache = init_cache(cfg, b)
+    # cache sized to the block (rounded up for layout): every step reads the
+    # whole cache, so this is directly attention HBM traffic
+    cache = init_cache(cfg, b, -(-tokens.shape[1] // 128) * 128)
     prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
 
     def step(carry, tok_t):
@@ -66,7 +68,7 @@ def _encode_intervals(cfg: LMConfig, params, tokens, lengths, prob_bits: int):
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _decode_scan(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int):
     b = words.shape[0]
-    cache = init_cache(cfg, b)
+    cache = init_cache(cfg, b, -(-t_len // 128) * 128)
     prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
     rstate = rans_decode_init.__wrapped__(words)
 
