@@ -1,7 +1,8 @@
 """Benchmark entry point for the driver: prints ONE JSON line.
 
 Measures end-to-end encode+decode throughput of the fused-Pallas byte
-coding path (turbo, codec 2) on a 4 MiB deterministic local-text corpus on
+coding path (turbo; order0n nibble-factorized codec) on a 4 MiB
+deterministic local-text corpus on
 the default device (real TPU v5e under the driver), and checks a bit-exact
 round-trip. Device throughput is measured with median-of-5 timed runs
 synchronized by tiny scalar fetches (full-array fetches would measure the
@@ -32,7 +33,7 @@ def main() -> int:
     import numpy as np
     import jax.numpy as jnp
 
-    from lac_tpu.ops.pallas_rans import o0c_encode_fused, o0c_rans32_decode
+    from lac_tpu.ops.pallas_rans import o0n_encode_fused, o0n_rans32_decode
     from lac_tpu.runtime.turbo import turbo_compress, turbo_decompress
 
     V, PB, RATE = 256, 16, 4
@@ -53,13 +54,13 @@ def main() -> int:
     def encode(s):
         # same cap production turbo_compress uses (raw fallback bounds coded
         # lanes below block_size//2 words)
-        return o0c_encode_fused(s, lengths[None, :], V, PB, RATE, T // 2 + 3)
+        return o0n_encode_fused(s, lengths[None, :], RATE, T // 2 + 3)
 
     words_full, nw = encode(syms_d)
     maxw = int(jnp.max(nw))  # compile+sync
     cap = next(c for c in (64, 128, 192, 256, 384, 512, T // 2 + 3) if c >= maxw)
     words = jnp.asarray(jnp.asarray(words_full)[:, :cap])
-    d = o0c_rans32_decode(words, lengths, T, V, PB, RATE)
+    d = o0n_rans32_decode(words, lengths, T, RATE)
     int(jnp.sum(d))
 
     def med(fn, n=5, reps=10):
@@ -78,7 +79,7 @@ def main() -> int:
         return statistics.median(ts)
 
     te = med(lambda: encode(syms_d)[1])
-    td = med(lambda: o0c_rans32_decode(words, lengths, T, V, PB, RATE))
+    td = med(lambda: o0n_rans32_decode(words, lengths, T, RATE))
 
     # LM-path throughput (flagship capability): lock-step coding with the
     # ~20M-param byte LM preset, B lanes in one jitted scan
@@ -109,7 +110,7 @@ def main() -> int:
     combined = 2 * n_mb / (te + td)
     baseline = 0.013  # reference-class pure-Python coder, MB/s
     print(json.dumps({
-        "metric": "byte-path (order0c turbo) encode+decode throughput, 1 chip",
+        "metric": "byte-path (order0n turbo) encode+decode throughput, 1 chip",
         "value": round(combined, 3),
         "unit": "MB/s",
         "vs_baseline": round(combined / baseline, 1),

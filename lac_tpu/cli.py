@@ -155,8 +155,8 @@ def main(argv=None) -> int:
     c = sub.add_parser("compress", help="compress FILE into a .lac container")
     c.add_argument("file")
     c.add_argument("-o", "--output")
-    c.add_argument("--model", default="order0c",
-                   help="model id: order0c (turbo), order0/markov1[cd] (XLA), lm")
+    c.add_argument("--model", default="order0n",
+                   help="model id: order0n/order0c (turbo), order0/markov1[cd] (XLA), lm")
     c.add_argument("--block-size", type=int, default=1 << 12)
     c.add_argument("--prob-bits", type=int, default=16)
     c.add_argument("--model-ref", default="prng:byte-12l:0",
@@ -191,7 +191,7 @@ def main(argv=None) -> int:
 
     b = sub.add_parser("bench", help="round-trip benchmark on FILE")
     b.add_argument("file")
-    b.add_argument("--model", default="order0c")
+    b.add_argument("--model", default="order0n")
     b.add_argument("--block-size", type=int, default=1 << 12)
     b.add_argument("--prob-bits", type=int, default=16)
     b.set_defaults(fn=_cmd_bench)

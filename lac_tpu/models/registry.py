@@ -12,6 +12,7 @@ from .functional import (
     MarkovScan,
     Order0CDF,
     Order0Decay,
+    Order0NibCDF,
     Order0Scan,
     ScanModel,
 )
@@ -23,6 +24,7 @@ _SCAN_MODELS = {
     "markov1d": MarkovDecay,
     "order0c": Order0CDF,
     "markov1c": MarkovCDF,
+    "order0n": Order0NibCDF,
 }
 
 

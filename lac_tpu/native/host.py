@@ -56,6 +56,15 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.o0n_encode_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.o0n_decode_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -66,8 +75,13 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def native_compress(data: bytes, block_size: int = 1024, rate: int = 4) -> bytes:
-    """Same container format as runtime.turbo.turbo_compress (codec 2)."""
+def native_compress(
+    data: bytes, block_size: int = 1024, rate: int = 4, model: str = "order0n"
+) -> bytes:
+    """Same container format (and bit-identical payloads) as
+    runtime.turbo.turbo_compress for the same (model, block_size, rate)."""
+    if model not in ("order0c", "order0n"):
+        raise ValueError("native model must be order0c or order0n")
     lib = _load()
     if lib is None:
         raise RuntimeError("native coder unavailable (g++ build failed)")
@@ -81,10 +95,16 @@ def native_compress(data: bytes, block_size: int = 1024, rate: int = 4) -> bytes
     words = np.zeros((nblocks, cap), dtype=np.uint16)
     nwords = np.zeros((nblocks,), dtype=np.int32)
     if n:
-        lib.o0c_encode_blocks(
-            arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
-            nblocks, cap, rate, 16, words.ctypes.data, nwords.ctypes.data,
-        )
+        if model == "order0n":
+            lib.o0n_encode_blocks(
+                arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+                nblocks, cap, rate, words.ctypes.data, nwords.ctypes.data,
+            )
+        else:
+            lib.o0c_encode_blocks(
+                arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
+                nblocks, cap, rate, 16, words.ctypes.data, nwords.ctypes.data,
+            )
     else:
         nwords[:] = 2
         words[:, 0] = 1  # x = RANS32_L
@@ -97,7 +117,7 @@ def native_compress(data: bytes, block_size: int = 1024, rate: int = 4) -> bytes
         else:
             blocks.append(BlockEntry(int(lengths[i]), int(lengths[i]), payload))
     header = ContainerHeader(
-        codec=CODEC_RANS32, prob_bits=16, model_id="order0c",
+        codec=CODEC_RANS32, prob_bits=16, model_id=model,
         config={"block_size": block_size, "rate": rate}, original_len=n,
     )
     return write_container(header, blocks)
@@ -108,8 +128,8 @@ def native_decompress(container: bytes) -> bytes:
     if lib is None:
         raise RuntimeError("native coder unavailable (g++ build failed)")
     header, blocks = read_container(container)
-    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
-        raise ValueError("not a turbo/order0c container")
+    if header.codec != CODEC_RANS32 or header.model_id not in ("order0c", "order0n"):
+        raise ValueError("not a turbo (order0c/order0n) container")
     block_size, rate = header.config["block_size"], header.config["rate"]
     cap = block_size + 2
     coded = [(i, b) for i, b in enumerate(blocks)
@@ -131,10 +151,16 @@ def native_decompress(container: bytes) -> bytes:
             out_offsets[j] = total
             total += b.token_count
         out = np.zeros((total,), dtype=np.uint8)
-        lib.o0c_decode_blocks(
-            words.ctypes.data, lengths.ctypes.data, nc, cap, rate, 16,
-            out_offsets.ctypes.data, out.ctypes.data,
-        )
+        if header.model_id == "order0n":
+            lib.o0n_decode_blocks(
+                words.ctypes.data, lengths.ctypes.data, nc, cap, rate,
+                out_offsets.ctypes.data, out.ctypes.data,
+            )
+        else:
+            lib.o0c_decode_blocks(
+                words.ctypes.data, lengths.ctypes.data, nc, cap, rate, 16,
+                out_offsets.ctypes.data, out.ctypes.data,
+            )
         for j, (i, b) in enumerate(coded):
             out_parts[i] = out[out_offsets[j] : out_offsets[j] + lengths[j]].tobytes()
     res = b"".join(out_parts[i] for i in range(len(blocks)))

@@ -42,6 +42,10 @@ __all__ = [
     "rans32_encode_dense",
     "compact_words",
     "o0c_rans32_decode",
+    "o0n_encode_intervals",
+    "o0n_encode_fused",
+    "o0n_rans32_decode",
+    "o0n_decode_fits",
     "SENTINEL",
 ]
 
@@ -545,3 +549,290 @@ def o0c_rans32_decode(
         chunk_step, (state0, x0, pos0), jnp.arange(n_chunks, dtype=jnp.int32)
     )
     return syms.reshape(n_chunks * _FIFO, b)[:t_len].astype(jnp.uint8)
+
+# --------------------------------------------------------------------------
+# Codec 3 ("order0n"): nibble-factorized shift-to-target model, composed
+# into ONE 16-bit rANS step per byte (models.functional.Order0NibCDF is the
+# spec; lo12 = (lo_h << 8) + f_h*lo_l, f12 = f_h*f_l tiles [0, 2**16)
+# exactly). The coder layer — rans32_encode_dense, compact_words, the
+# word-FIFO decode machinery — is IDENTICAL to codec 2's; only the model
+# geometry changes: per coded byte the adaptive-model work is a few [16, B]
+# ops plus one 16-row context extract/writeback instead of [256, B]
+# mask/shift/reduce passes. Measured ~1.9x decode throughput over o0c.
+#
+# Context plumbing (Mosaic has no per-lane sublane gather): the 16
+# lo-nibble tables live context-major in one [256, B] scratch; the active
+# context row-block is pulled out by a 4-level binary select tree on the
+# bits of h (static slices only), and written back with 16 conditional
+# block read-modify-writes gated on (h == c) per lane.
+# --------------------------------------------------------------------------
+
+_NV = 16  # nibble alphabet
+_NSB = 15  # internal state bits (see models.functional NIB_STATE_BITS)
+_NS = 1 << _NSB
+_NM = (1 << 8) - _NV  # 240: 8-bit coding domain less the +k guard
+_NPB = 16  # composed prob_bits (the coder's; fixed for this codec)
+
+
+def _nib_update(state, m, rate):
+    """[16, B] nibble-state shift-toward update; rate 31 is an exact no-op."""
+    toward_zero = state - (state >> rate)
+    toward_total = state + ((_NS - state) >> rate)
+    return jnp.where(m, toward_zero, toward_total)
+
+
+def _nib_tree16(buf, h):
+    """Select rows [16h, 16h+16) of a [256, B] buffer per lane via the bits
+    of h [1, B] — 4 levels of static-slice selects, no gathers."""
+    t = jnp.where((h & 8) != 0, buf[128:256], buf[0:128])
+    t = jnp.where((h & 4) != 0, t[64:128], t[0:64])
+    t = jnp.where((h & 2) != 0, t[32:64], t[0:32])
+    return jnp.where((h & 1) != 0, t[16:32], t[0:16])
+
+
+def _nib_tree1(buf, h):
+    """Select row h of a [16, B] buffer per lane (same tree, one row out)."""
+    t = jnp.where((h & 8) != 0, buf[8:16], buf[0:8])
+    t = jnp.where((h & 4) != 0, t[4:8], t[0:4])
+    t = jnp.where((h & 2) != 0, t[2:4], t[0:2])
+    return jnp.where((h & 1) != 0, t[1:2], t[0:1])
+
+
+def _nib_sl_init(b: int) -> jnp.ndarray:
+    return (lax.broadcasted_iota(jnp.int32, (16 * _NV, b), 0) & 15) << (_NSB - 4)
+
+
+def _o0n_intervals_kernel(syms_ref, lo_ref, fr_ref, sh_scr, sl_scr, cnt_scr,
+                          *, rate, chunk):
+    b = sh_scr.shape[1]
+    pid = pl.program_id(0)
+    k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+
+    @pl.when(pid == 0)
+    def _():
+        sh_scr[:] = k16 << (_NSB - 4)
+        sl_scr[:] = _nib_sl_init(b)
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
+
+    def body(i, carry):
+        sh, cnt = carry
+        t = pid * chunk + i
+        s = syms_ref[pl.ds(i, 1), :]  # [1, B]
+        h = s >> 4
+        l = s & 15
+        effh = ((sh * _NM) >> _NSB) + k16
+        mh = k16 <= h
+        loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
+        hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+        fh = hih - loh
+        slh = _nib_tree16(sl_scr[:], h)  # [16, B]
+        effl = ((slh * _NM) >> _NSB) + k16
+        ml = k16 <= l
+        lol = jnp.max(jnp.where(ml, effl, 0), axis=0, keepdims=True)
+        hil = jnp.min(jnp.where(ml, jnp.int32(256), effl), axis=0, keepdims=True)
+        lo_ref[pl.ds(i, 1), :] = (loh << 8) + fh * lol
+        fr_ref[pl.ds(i, 1), :] = fh * (hil - lol)
+        # updates: hi table on the global-step schedule, lo table on its
+        # context's visit count (maturity), matching Order0NibCDF.update
+        sh = _nib_update(sh, mh, _rate_at(rate, t))
+        rl = _rate_at(rate, _nib_tree1(cnt, h))
+        slh2 = _nib_update(slh, ml, rl)
+        for c in range(_NV):
+            blk = sl_scr[pl.ds(16 * c, 16), :]
+            sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+        cnt = cnt + (k16 == h).astype(jnp.int32)
+        return sh, cnt
+
+    sh, cnt = lax.fori_loop(0, chunk, body, (sh_scr[:], cnt_scr[:]))
+    sh_scr[:] = sh
+    cnt_scr[:] = cnt
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def o0n_encode_intervals(syms_tb: jax.Array, rate: int):
+    """syms_tb: [T, B] int32 bytes. Returns composed (lo12, f12) [T, B] i32
+    with total 2**16 — feed straight into rans32_encode_dense(pb=16)."""
+    t_len, b = syms_tb.shape
+    chunk = min(t_len, max(128, (256 * 1024) // b))
+    while t_len % chunk:
+        chunk //= 2
+    grid = t_len // chunk
+    kern = functools.partial(_o0n_intervals_kernel, rate=rate, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+        ],
+        interpret=_interp(),
+    )(syms_tb)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o0n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int):
+    """Codec-3 encode, one executable (mirror of o0c_encode_fused; the rANS
+    and compaction stages are shared — one composed step per byte)."""
+    b = syms_tb.shape[1]
+    syms_tb = syms_tb.astype(jnp.int32)
+    words, nwords = [], []
+    for c0 in range(0, b, _MAX_KERNEL_LANES):
+        c1 = min(c0 + _MAX_KERNEL_LANES, b)
+        lo, fr = o0n_encode_intervals(syms_tb[:, c0:c1], rate)
+        dense, xfin = rans32_encode_dense(lo, fr, lengths[:, c0:c1], _NPB)
+        w, nw = compact_words(dense, xfin, cap)
+        words.append(w.astype(jnp.uint16))
+        nwords.append(nw)
+    if len(words) == 1:
+        return words[0], nwords[0]
+    return jnp.concatenate(words, axis=0), jnp.concatenate(nwords, axis=0)
+
+
+def _o0n_decode_fused_kernel(
+    words_ref, len_ref, syms_ref, wbuf, sl_scr, sh_scr, cnt_scr, x_scr, par_scr,
+    *, rate, cap2,
+):
+    b = sh_scr.shape[1]
+    pid = pl.program_id(0)
+    k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+
+    @pl.when(pid == 0)
+    def _():
+        w = words_ref[:]
+        x_scr[:] = w[0:1, :]
+        wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)
+        par_scr[:] = jnp.zeros_like(par_scr)
+        sh_scr[:] = k16 << (_NSB - 4)
+        sl_scr[:] = _nib_sl_init(b)
+        cnt_scr[:] = jnp.zeros_like(cnt_scr)
+
+    t0 = pid * _FIFO
+    lengths = len_ref[:]  # [1, B]
+
+    def body(i, carry):
+        sh, cnt, x, wb, par = carry
+        active = (t0 + i) < lengths
+        slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        effh = ((sh * _NM) >> _NSB) + k16
+        mh = effh <= (slot >> 8)
+        h = jnp.sum(mh, axis=0, keepdims=True, dtype=jnp.int32) - 1
+        loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
+        hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+        fh = hih - loh
+        slh = _nib_tree16(sl_scr[:], h)
+        effl = ((slh * _NM) >> _NSB) + k16
+        sc = fh * effl  # scaled lo-nibble boundaries: tile [0, fh*256)
+        r = slot - (loh << 8)
+        ml = sc <= r
+        l = jnp.sum(ml, axis=0, keepdims=True, dtype=jnp.int32) - 1
+        lo_s = jnp.max(jnp.where(ml, sc, 0), axis=0, keepdims=True)
+        hi_s = jnp.min(jnp.where(ml, fh << 8, sc), axis=0, keepdims=True)
+        f12 = (hi_s - lo_s).astype(jnp.uint32)
+        x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
+        refill = active & (x_new < jnp.uint32(1 << 16))
+        row = wb[0:1, :]
+        w = jnp.where(par == 0, row >> 16, row & jnp.uint32(0xFFFF))
+        x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+        advance = refill & (par == 1)
+        par = jnp.where(refill, 1 - par, par)
+        wb = jnp.where(advance, pltpu.roll(wb, cap2 - 1, axis=0), wb)
+        syms_ref[pl.ds(i, 1), :] = jnp.where(active, (h << 4) | l, 0)
+        rh = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
+        sh = _nib_update(sh, mh, rh)
+        rl = jnp.where(active, _rate_at(rate, _nib_tree1(cnt, h)), jnp.int32(31))
+        slh2 = _nib_update(slh, ml, rl)
+        for c in range(_NV):
+            blk = sl_scr[pl.ds(16 * c, 16), :]
+            sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+        cnt = cnt + jnp.where(active, (k16 == h).astype(jnp.int32), 0)
+        return sh, cnt, jnp.where(active, x_new, x), wb, par
+
+    sh, cnt, x, wb, par = lax.fori_loop(
+        0, _FIFO, body,
+        (sh_scr[:], cnt_scr[:], x_scr[:], wbuf[:], par_scr[:]),
+    )
+    sh_scr[:] = sh
+    cnt_scr[:] = cnt
+    x_scr[:] = x
+    wbuf[:] = wb
+    par_scr[:] = par
+
+
+def _o0n_vmem_ok(cap: int, b: int) -> bool:
+    # o0c fused budget + the [256, B] lo-table scratch (x2 for RMW temps)
+    cap2 = (cap + 1) // 2
+    need = 4 * (5 * cap2 * b + 5 * 16 * _NV * b + 2 * _FIFO * b + 16 * b)
+    return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
+
+
+def o0n_decode_fits(cap: int, b: int) -> bool:
+    """Whether the codec-3 fused decode kernel fits VMEM for this geometry
+    (turbo gates block_size on this at compress time)."""
+    return _o0n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES))
+
+
+def _o0n_decode_fused(words, lengths, t_len, rate):
+    b, cap = words.shape
+    n_chunks = -(-t_len // _FIFO)
+    cap2 = (cap + 1) // 2
+    wt = words.T
+    if cap % 2:
+        wt = jnp.concatenate([wt, jnp.zeros((1, b), wt.dtype)], axis=0)
+    packed = (wt[0::2] << 16) | wt[1::2]
+    kern = functools.partial(_o0n_decode_fused_kernel, rate=rate, cap2=cap2)
+    syms = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((cap2, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_FIFO, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cap2, b), jnp.uint32),
+            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((1, b), jnp.uint32),
+            pltpu.VMEM((1, b), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=_interp(),
+    )(packed, lengths[None, :].astype(jnp.int32))
+    return syms[:t_len].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o0n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: int):
+    """Codec-3 fused decode. words: [B, cap] u16/u32 decode-order; returns
+    syms [T, B] uint8. The geometry must satisfy o0n_decode_fits (the
+    compressor gates block_size, so every codec-3 container decodes here)."""
+    words = words.astype(jnp.uint32)
+    b, cap = words.shape
+    if not _o0n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES)):
+        raise ValueError(
+            f"o0n decode geometry (cap={cap}, B={b}) exceeds the fused-kernel "
+            "VMEM budget; compress with a smaller block_size or codec order0c"
+        )
+    if b > _MAX_KERNEL_LANES:
+        outs = [
+            _o0n_decode_fused(
+                words[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                lengths[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                t_len, rate,
+            )
+            for c0 in range(0, b, _MAX_KERNEL_LANES)
+        ]
+        return jnp.concatenate(outs, axis=1)
+    return _o0n_decode_fused(words, lengths, t_len, rate)

@@ -13,7 +13,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_rans import o0c_encode_fused, o0c_rans32_decode
+from ..ops.pallas_rans import (
+    o0c_encode_fused,
+    o0c_rans32_decode,
+    o0n_decode_fits,
+    o0n_encode_fused,
+    o0n_rans32_decode,
+)
 from ..parallel.distributed import allgather_blocks, my_block_span
 from ..stream.container import (
     CODEC_RANS32,
@@ -42,7 +48,8 @@ def _with_retry(fn, what: str):
     raise RuntimeError(f"{what} failed after {_RETRIES + 1} attempts") from last
 
 
-def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: int):
+def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: int,
+                 model: str = "order0n"):
     """Encode blocks [start, end) of the byte array; returns payload list."""
     n = len(arr)
     nblk = end - start
@@ -56,10 +63,16 @@ def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: i
         lengths[j] = len(chunk)
     # cap matches turbo_compress: raw fallback (checked on nwords before
     # slicing) makes lanes needing more than block_size//2 words immaterial
-    words, nwords = o0c_encode_fused(
-        jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
-        block_size // 2 + 3,
-    )
+    if model == "order0n":
+        words, nwords = o0n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate,
+            block_size // 2 + 3,
+        )
+    else:
+        words, nwords = o0c_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
+            block_size // 2 + 3,
+        )
     words, nwords = np.asarray(words), np.asarray(nwords)
     out = []
     for j in range(nblk):
@@ -72,14 +85,18 @@ def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: i
     return out
 
 
-def compress_distributed(data: bytes, block_size: int = 1024, rate: int = 4) -> bytes:
+def compress_distributed(
+    data: bytes, block_size: int = 1024, rate: int = 4, model: str = "order0n"
+) -> bytes:
     """All processes call this with the same data; returns the container
     (identical on every process)."""
+    if model == "order0n" and not o0n_decode_fits(block_size + 2, 1 << 30):
+        model = "order0c"  # geometry fallback, same rule as turbo_compress
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = max(1, -(-len(data) // block_size))
     start, end = my_block_span(nblocks)
     mine = _with_retry(
-        lambda: _encode_span(arr, start, end, block_size, rate),
+        lambda: _encode_span(arr, start, end, block_size, rate, model),
         f"encode span [{start},{end})",
     )
     # serialize (raw_len, token_count, payload) triplets for the gather
@@ -96,7 +113,7 @@ def compress_distributed(data: bytes, block_size: int = 1024, rate: int = 4) -> 
     header = ContainerHeader(
         codec=CODEC_RANS32,
         prob_bits=_PB,
-        model_id="order0c",
+        model_id=model,
         config={"block_size": block_size, "rate": rate},
         original_len=len(data),
     )
@@ -122,15 +139,20 @@ def decompress_distributed(container: bytes) -> bytes:
             w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
-        syms = _with_retry(
-            lambda: np.asarray(
+        if header.model_id == "order0n":
+            dec = lambda: np.asarray(
+                o0n_rans32_decode(
+                    jnp.asarray(words), jnp.asarray(lengths), block_size, rate
+                )
+            )
+        else:
+            dec = lambda: np.asarray(
                 o0c_rans32_decode(
                     jnp.asarray(words), jnp.asarray(lengths), block_size, 256,
                     _PB, rate,
                 )
-            ),
-            f"decode span [{start},{end})",
-        )
+            )
+        syms = _with_retry(dec, f"decode span [{start},{end})")
     ci = 0
     for blk in span:
         if blk.token_count == 0 and blk.raw_len > 0:

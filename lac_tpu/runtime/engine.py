@@ -123,11 +123,14 @@ def compress_bytes(
     **model_kw,
 ) -> bytes:
     """Compress raw bytes into a .lac container (byte-alphabet models).
-    model_id "order0c" routes to the fused-Pallas turbo path (codec 2)."""
-    if model_id == "order0c":
+    model_ids "order0c"/"order0n" route to the fused-Pallas turbo path
+    (codec 2; order0n is the nibble-factorized fast default)."""
+    if model_id in ("order0c", "order0n"):
         from .turbo import turbo_compress
 
-        return turbo_compress(data, block_size=min(block_size, 1 << 12), **model_kw)
+        return turbo_compress(
+            data, block_size=min(block_size, 1 << 12), model=model_id, **model_kw
+        )
     model = get_scan_model(model_id, prob_bits=prob_bits, **model_kw)
     syms, lengths = _blockify(data, block_size)
     words, nwords = encode_lanes(syms, lengths, model)

@@ -1,13 +1,18 @@
-"""Turbo byte-path engine: fused Pallas kernels + rANS-32/16 (codec 2).
+"""Turbo byte-path engine: fused Pallas kernels + rANS-32/16.
 
 File bytes -> fixed-size blocks -> coding lanes, processed in fixed-shape
 waves of up to MAX_WAVE lanes so every wave reuses one compiled kernel set.
-The model is the shift-to-target CDF predictor baked into the kernels
-(model id "order0c"); ratio/speed geometry is (block_size, rate).
+Two kernel-backed models share the container format and coder spec:
 
-Measured on one v5e chip (B=2048, T=1024, sustained): encode ~220 MB/s,
-decode ~150 MB/s — vs ~0.01 MB/s/stream for the reference's pure-Python
-coder class.
+- "order0n" (default): nibble-factorized shift-to-target model — the two
+  8-bit nibble CDFs compose into ONE 16-bit rANS step per byte, cutting the
+  per-step vector work from [256, B] to [16, B]-class ops (~1.5-2x the
+  o0c throughput for ~2% ratio on text; better ratio on high-entropy data).
+- "order0c": joint byte-alphabet shift-to-target model (best ratio on
+  text-like data; also the geometry fallback for very large blocks).
+
+Ratio/speed geometry is (block_size, rate). Measured on one v5e chip at
+B=32768 lanes sustained: see BASELINE.md.
 """
 
 from __future__ import annotations
@@ -20,6 +25,9 @@ from ..models.functional import CDF_STATE_BITS  # noqa: F401  (spec anchor)
 from ..ops.pallas_rans import (
     o0c_encode_fused,
     o0c_rans32_decode,
+    o0n_decode_fits,
+    o0n_encode_fused,
+    o0n_rans32_decode,
 )
 from ..stream.container import (
     CODEC_RANS32,
@@ -34,7 +42,33 @@ __all__ = ["turbo_compress", "turbo_decompress", "turbo_decompress_blocks", "MAX
 MAX_WAVE = 8192  # lanes per dispatch (split into <=2048-lane sub-kernels inside one executable)
 _DEFAULT_BLOCK = 1024
 _DEFAULT_RATE = 4  # base of the adaptive schedule (must match dist/bench)
+_DEFAULT_MODEL = "order0n"
 _PB = 16
+_TURBO_MODELS = ("order0c", "order0n")
+
+_CAP_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def _decode_cap_bucket(maxw: int, block_size: int) -> int:
+    # coded lanes never exceed block_size//2+3 words (raw fallback), so the
+    # terminal bucket is that, not block_size+2
+    top = block_size // 2 + 3
+    for c in _CAP_BUCKETS:
+        if top >= c >= max(maxw, 3):
+            return c
+    return top
+
+
+def _encode_wave(model: str, syms, lengths, rate: int, cap: int):
+    if model == "order0n":
+        return o0n_encode_fused(syms, lengths, rate, cap)
+    return o0c_encode_fused(syms, lengths, 256, _PB, rate, cap)
+
+
+def _decode_wave(model: str, words, lengths, block_size: int, rate: int):
+    if model == "order0n":
+        return o0n_rans32_decode(words, lengths, block_size, rate)
+    return o0c_rans32_decode(words, lengths, block_size, 256, _PB, rate)
 
 
 def _wave_sizes(n: int) -> list[int]:
@@ -53,10 +87,19 @@ def _wave_sizes(n: int) -> list[int]:
 
 
 def turbo_compress(
-    data: bytes, block_size: int = _DEFAULT_BLOCK, rate: int = _DEFAULT_RATE
+    data: bytes,
+    block_size: int = _DEFAULT_BLOCK,
+    rate: int = _DEFAULT_RATE,
+    model: str = _DEFAULT_MODEL,
 ) -> bytes:
     if block_size % 256:
         raise ValueError("turbo block_size must be a multiple of 256")
+    if model not in _TURBO_MODELS:
+        raise ValueError(f"turbo model must be one of {_TURBO_MODELS}")
+    if model == "order0n" and not o0n_decode_fits(
+        _decode_cap_bucket(block_size // 2 + 3, block_size), MAX_WAVE
+    ):
+        model = "order0c"  # geometry fallback: huge blocks use the chunked-decode codec
     n = len(data)
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = max(1, -(-n // block_size))
@@ -81,8 +124,8 @@ def turbo_compress(
         # payload >= raw and is stored raw below (checked on nwords BEFORE
         # slicing, so truncation of its word list is immaterial)
         cap = block_size // 2 + 3
-        words_d, nwords_d = o0c_encode_fused(
-            jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate, cap
+        words_d, nwords_d = _encode_wave(
+            model, jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate, cap
         )
         words = np.asarray(words_d).astype(">u2")  # one pass, not per block
         nwords = np.asarray(nwords_d)
@@ -99,7 +142,7 @@ def turbo_compress(
     header = ContainerHeader(
         codec=CODEC_RANS32,
         prob_bits=_PB,
-        model_id="order0c",
+        model_id=model,
         config={"block_size": block_size, "rate": rate},
         original_len=n,
     )
@@ -125,10 +168,7 @@ def _decode_block_list(header, blocks) -> list[bytes]:
             blk = blocks[done + j]
             if not (blk.token_count == 0 and blk.raw_len > 0):
                 maxw = max(maxw, len(blk.payload) // 2)
-        cap = next(
-            c for c in (64, 128, 192, 256, 384, 512, 768, 1024, block_size + 2)
-            if c >= max(maxw, 3)
-        )
+        cap = _decode_cap_bucket(maxw, block_size)
         words = np.zeros((wave, cap), dtype=np.uint16)  # u16 on the wire
         lengths = np.zeros((wave,), dtype=np.int32)
         any_coded = False
@@ -142,9 +182,9 @@ def _decode_block_list(header, blocks) -> list[bytes]:
             any_coded = True
         if any_coded:
             syms = np.asarray(
-                o0c_rans32_decode(
-                    jnp.asarray(words), jnp.asarray(lengths), block_size, 256,
-                    _PB, rate,
+                _decode_wave(
+                    header.model_id, jnp.asarray(words), jnp.asarray(lengths),
+                    block_size, rate,
                 )
             )  # [T, wave] u8
         for j in range(min(wave, nblocks - done)):
@@ -159,8 +199,8 @@ def _decode_block_list(header, blocks) -> list[bytes]:
 
 def turbo_decompress(container: bytes) -> bytes:
     header, blocks = read_container(container)
-    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
-        raise ValueError("not a turbo order0c container")
+    if header.codec != CODEC_RANS32 or header.model_id not in _TURBO_MODELS:
+        raise ValueError("not a turbo (order0c/order0n) container")
     out = b"".join(_decode_block_list(header, blocks))
     if len(out) != header.original_len:
         raise ValueError("decoded length mismatch")
@@ -170,6 +210,6 @@ def turbo_decompress(container: bytes) -> bytes:
 def turbo_decompress_blocks(container: bytes, indices) -> list[bytes]:
     """Random-access decode of selected blocks only."""
     header, blocks = read_container(container)
-    if header.codec != CODEC_RANS32 or header.model_id != "order0c":
-        raise ValueError("not a turbo order0c container")
+    if header.codec != CODEC_RANS32 or header.model_id not in _TURBO_MODELS:
+        raise ValueError("not a turbo (order0c/order0n) container")
     return _decode_block_list(header, [blocks[i] for i in indices])

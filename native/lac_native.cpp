@@ -136,3 +136,131 @@ void o0c_decode_blocks(const uint16_t* words, const int32_t* lengths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// order0n: nibble-factorized model (codec 3; spec in models/functional.py
+// Order0NibCDF and kernels in ops/pallas_rans.py). Two 8-bit nibble CDFs
+// compose into one 16-bit rANS step per byte:
+//   lo12 = (lo_h << 8) + f_h * lo_l,  f12 = f_h * f_l.
+// States are 15-bit internally, scaled to the 8-bit coding domain per step.
+// The rANS layer is byte-identical to o0c's (pb = 16).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int NV = 16;
+constexpr int32_t NS = 1 << 15;
+constexpr int32_t NM = 256 - NV;  // 240
+
+struct NibModel {
+  int32_t sh[NV + 1];
+  int32_t sl[NV][NV + 1];
+  int32_t cnt[NV];
+  void init() {
+    for (int k = 0; k <= NV; k++) sh[k] = k * (NS / NV);
+    for (int c = 0; c < NV; c++)
+      for (int k = 0; k <= NV; k++) sl[c][k] = k * (NS / NV);
+    for (int c = 0; c < NV; c++) cnt[c] = 0;
+  }
+  static inline int32_t eff(const int32_t* st, int k) {
+    return ((st[k] * NM) >> 15) + k;
+  }
+  static inline void shift_update(int32_t* st, int nib, int r) {
+    for (int k = 0; k <= nib; k++) st[k] -= st[k] >> r;
+    for (int k = nib + 1; k <= NV; k++) st[k] += (NS - st[k]) >> r;
+  }
+  // composed (lo12, f12) of byte s at the current state
+  inline void interval_of(int s, int32_t* lo12, int32_t* f12) const {
+    const int h = s >> 4, l = s & 15;
+    const int32_t loh = eff(sh, h), fh = eff(sh, h + 1) - loh;
+    const int32_t lol = eff(sl[h], l), fl = eff(sl[h], l + 1) - lol;
+    *lo12 = (loh << 8) + fh * lol;
+    *f12 = fh * fl;
+  }
+  inline void update(int s, int base_rate, int t) {
+    const int h = s >> 4, l = s & 15;
+    shift_update(sh, h, rate_at(base_rate, t));
+    shift_update(sl[h], l, rate_at(base_rate, cnt[h]));
+    cnt[h]++;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int o0n_encode_block(const uint8_t* data, int n, int rate, uint16_t* words) {
+  constexpr int pb = 16;
+  std::vector<int32_t> lo(n), fr(n);
+  NibModel m;
+  m.init();
+  for (int t = 0; t < n; t++) {
+    m.interval_of(data[t], &lo[t], &fr[t]);
+    m.update(data[t], rate, t);
+  }
+  std::vector<uint16_t> emitted;
+  emitted.reserve(n / 2 + 4);
+  uint32_t x = 1u << 16;
+  for (int t = n - 1; t >= 0; t--) {
+    uint32_t f = (uint32_t)fr[t];
+    uint32_t x_max = f << (32 - pb);
+    if (x >= x_max) {
+      emitted.push_back((uint16_t)(x & 0xFFFF));
+      x >>= 16;
+    }
+    x = ((x / f) << pb) + (x % f) + (uint32_t)lo[t];
+  }
+  words[0] = (uint16_t)(x >> 16);
+  words[1] = (uint16_t)(x & 0xFFFF);
+  int nw = 2;
+  for (int i = (int)emitted.size() - 1; i >= 0; i--) words[nw++] = emitted[i];
+  return nw;
+}
+
+void o0n_decode_block(const uint16_t* words, int n, int rate, uint8_t* out) {
+  constexpr int pb = 16;
+  NibModel m;
+  m.init();
+  uint32_t x = ((uint32_t)words[0] << 16) | words[1];
+  int pos = 2;
+  for (int t = 0; t < n; t++) {
+    const int32_t slot = (int32_t)(x & 0xFFFF);
+    const int32_t sh8 = slot >> 8;
+    int h = 0;
+    while (h < NV - 1 && NibModel::eff(m.sh, h + 1) <= sh8) h++;
+    const int32_t loh = NibModel::eff(m.sh, h);
+    const int32_t fh = NibModel::eff(m.sh, h + 1) - loh;
+    const int32_t r = slot - (loh << 8);
+    int l = 0;
+    while (l < NV - 1 && fh * NibModel::eff(m.sl[h], l + 1) <= r) l++;
+    const int32_t lo_s = fh * NibModel::eff(m.sl[h], l);
+    const int32_t f12 = fh * (NibModel::eff(m.sl[h], l + 1) - NibModel::eff(m.sl[h], l));
+    x = (uint32_t)f12 * (x >> pb) + (uint32_t)(r - lo_s);
+    if (x < (1u << 16)) x = (x << 16) | words[pos++];
+    const int s = (h << 4) | l;
+    out[t] = (uint8_t)s;
+    m.update(s, rate, t);
+  }
+}
+
+void o0n_encode_blocks(const uint8_t* data, const int32_t* offsets,
+                       const int32_t* lengths, int nblocks, int cap, int rate,
+                       uint16_t* words_out, int32_t* nwords_out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < nblocks; i++) {
+    nwords_out[i] = o0n_encode_block(data + offsets[i], lengths[i], rate,
+                                     words_out + (int64_t)i * cap);
+  }
+}
+
+void o0n_decode_blocks(const uint16_t* words, const int32_t* lengths,
+                       int nblocks, int cap, int rate,
+                       const int32_t* out_offsets, uint8_t* out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < nblocks; i++) {
+    o0n_decode_block(words + (int64_t)i * cap, lengths[i], rate,
+                     out + out_offsets[i]);
+  }
+}
+
+}  // extern "C"

@@ -68,3 +68,15 @@ def test_native_throughput_sane():
     enc = len(data) / (t1 - t0) / 1e6
     dec = len(data) / (t2 - t1) / 1e6
     assert enc > 3 and dec > 3  # sanity floor; single shared core, suite runs contend, f"native too slow: enc {enc:.1f} dec {dec:.1f} MB/s"
+
+
+@pytest.mark.parametrize("model", ["order0c", "order0n"])
+def test_native_container_identical_to_pallas_models(model):
+    from lac_tpu.runtime.turbo import turbo_compress, turbo_decompress
+
+    data = _text(9000)
+    cn = native_compress(data, block_size=1024, model=model)
+    cp = turbo_compress(data, block_size=1024, model=model)
+    assert cn == cp
+    assert native_decompress(cp) == data
+    assert turbo_decompress(cn) == data

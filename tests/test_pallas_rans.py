@@ -116,3 +116,96 @@ class TestFusedDecode:
 
         ref = rans32_decode_np(np.asarray(words)[0], t_len, cdf_provider, PB)
         assert ref == list(syms[:, 0])
+
+
+class TestOrder0Nib:
+    """Codec 3: nibble-factorized model kernels vs the functional spec
+    (models.functional.Order0NibCDF) and the NumPy rANS-32/16 decoder."""
+
+    def _syms(self, b=4, t_len=256, seed=7):
+        rng = np.random.default_rng(seed)
+        syms = rng.integers(0, V, (t_len, b)).astype(np.int32)
+        syms[:, 0] = (rng.integers(0, 4, t_len) * 17 + 64) & 0xFF  # skewed lane
+        return syms
+
+    def test_intervals_match_functional_model(self):
+        from lac_tpu.models.functional import Order0NibCDF
+        from lac_tpu.ops.pallas_rans import o0n_encode_intervals
+
+        b, t_len = 4, 256
+        syms = self._syms(b, t_len)
+        m = Order0NibCDF(vocab=256, prob_bits=16, rate=RATE)
+        cdf_j = jax.jit(m.cdf)
+        upd_j = jax.jit(m.update)
+        lo, fr = o0n_encode_intervals(jnp.asarray(syms), RATE)
+        lo, fr = np.asarray(lo), np.asarray(fr)
+        st = m.init_state(b)
+        lanes = np.arange(b)
+        for t in range(t_len):
+            cdf = np.asarray(cdf_j(st))
+            s = syms[t]
+            assert (lo[t] == cdf[lanes, s]).all(), t
+            assert (fr[t] == cdf[lanes, s + 1] - cdf[lanes, s]).all(), t
+            st = upd_j(st, jnp.asarray(s))
+
+    def test_composed_bitstream_matches_numpy_spec(self):
+        from lac_tpu.ops.pallas_rans import o0n_encode_fused
+
+        b, t_len = 4, 256
+        lengths = np.array([256, 3, 100, 256], dtype=np.int32)
+        syms = self._syms(b, t_len, seed=8)
+        from lac_tpu.ops.pallas_rans import o0n_encode_intervals
+
+        lo, fr = o0n_encode_intervals(jnp.asarray(syms), RATE)
+        lo, fr = np.asarray(lo), np.asarray(fr)
+        words, nwords = o0n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], RATE, t_len + 2
+        )
+        words, nwords = np.asarray(words), np.asarray(nwords)
+        for lane in range(b):
+            n = lengths[lane]
+            ref = rans32_encode_np(lo[:n, lane], fr[:n, lane], PB)
+            assert nwords[lane] == len(ref), f"lane {lane}"
+            assert (words[lane, : len(ref)] == ref.astype(np.uint16)).all(), f"lane {lane}"
+
+    def test_fused_decode_roundtrip(self):
+        from lac_tpu.ops.pallas_rans import o0n_encode_fused, o0n_rans32_decode
+
+        b, t_len = 4, 256
+        lengths = np.array([256, 1, 137, 256], dtype=np.int32)
+        syms = self._syms(b, t_len, seed=9)
+        words, nwords = o0n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], RATE, t_len + 2
+        )
+        decoded = np.asarray(
+            o0n_rans32_decode(jnp.asarray(words), jnp.asarray(lengths), t_len, RATE)
+        )
+        for lane in range(b):
+            n = lengths[lane]
+            assert (decoded[:n, lane] == syms[:n, lane]).all(), f"lane {lane}"
+
+    def test_decode_matches_numpy_spec_decoder(self):
+        """Fused o0n decode vs the NumPy spec decoder driven by the
+        functional model — validates composition against the generic coder,
+        not just inverse-of-our-own-encoder."""
+        from lac_tpu.models.functional import Order0NibCDF
+        from lac_tpu.ops.pallas_rans import o0n_encode_fused
+
+        t_len = 128
+        syms = self._syms(1, t_len, seed=10)
+        words, _ = o0n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(np.array([[t_len]], np.int32)), RATE,
+            t_len + 2,
+        )
+        m = Order0NibCDF(vocab=256, prob_bits=16, rate=RATE)
+        cdf_j = jax.jit(m.cdf)
+        upd_j = jax.jit(m.update)
+        holder = {"st": m.init_state(1)}
+
+        def cdf_provider(t, out):
+            if t > 0:
+                holder["st"] = upd_j(holder["st"], jnp.asarray([out[-1]], jnp.int32))
+            return np.asarray(cdf_j(holder["st"]))[0]
+
+        ref = rans32_decode_np(np.asarray(words)[0], t_len, cdf_provider, PB)
+        assert ref == list(syms[:, 0])

@@ -46,3 +46,39 @@ def test_incompressible():
     c = turbo_compress(data, block_size=1024)
     assert turbo_decompress(c) == data
     assert len(c) < len(data) * 1.05
+
+
+@pytest.mark.parametrize("model", ["order0c", "order0n"])
+def test_roundtrip_models(model):
+    data = _text(8000)
+    c = turbo_compress(data, block_size=1024, model=model)
+    header, _ = read_container(c)
+    assert header.model_id == model
+    assert turbo_decompress(c) == data
+
+
+def test_order0n_default_and_engine_dispatch():
+    data = _text(4000)
+    c = turbo_compress(data, block_size=1024)
+    header, _ = read_container(c)
+    assert header.model_id == "order0n"  # fast default
+    c2 = compress_bytes(data, model_id="order0n", block_size=1024)
+    assert decompress_bytes(c2) == data
+
+
+def test_order0n_huge_block_falls_back_to_order0c():
+    """Blocks too large for the o0n fused decode kernel's VMEM budget must
+    silently use the chunked-decode codec instead of failing at decode."""
+    data = _text(40000)
+    c = turbo_compress(data, block_size=16384, model="order0n")
+    header, _ = read_container(c)
+    assert header.model_id == "order0c"
+    assert turbo_decompress(c) == data
+
+
+def test_order0n_incompressible():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    c = turbo_compress(data, block_size=1024, model="order0n")
+    assert turbo_decompress(c) == data
+    assert len(c) < len(data) * 1.05
