@@ -190,8 +190,27 @@ def _rans32_enc_kernel(
             emit, x & jnp.uint32(0xFFFF), jnp.uint32(SENTINEL)
         )
         x = jnp.where(emit, x >> 16, x)
-        q = x // fr
+        # u32 division via f32 + exact fixup: Mosaic's emulated integer
+        # divide dominated this kernel. The quotient fits 16 bits (post-
+        # renorm x < fr << 16), so the f32 estimate is off by at most 1;
+        # the wrapped-remainder test disambiguates both directions. Same
+        # q bit-for-bit => same bitstream.
+        # (Mosaic has no u32<->f32 casts: split x into i32-safe halves; the
+        # power-of-2 scale is exact in f32 and the sum is within the <1 ulp
+        # error budget)
+        xf = (
+            (x >> 16).astype(jnp.int32).astype(jnp.float32) * 65536.0
+            + (x & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+        )
+        qf = xf / fr.astype(jnp.int32).astype(jnp.float32)
+        q = qf.astype(jnp.int32).astype(jnp.uint32)
         rem = x - q * fr
+        too_big = rem >= jnp.uint32(0x80000000)  # q overshot: rem wrapped
+        q = jnp.where(too_big, q - 1, q)
+        rem = jnp.where(too_big, rem + fr, rem)
+        too_small = rem >= fr
+        q = jnp.where(too_small, q + 1, q)
+        rem = jnp.where(too_small, rem - fr, rem)
         x_new = (q << prob_bits) + rem + lo
         x_ref[:] = jnp.where(active, x_new, x)
         return 0
@@ -324,14 +343,35 @@ def o0c_encode_fused(syms_tb: jax.Array, lengths: jax.Array, v: int, prob_bits: 
 # --------------------------------------------------------------------------
 
 
+_WIN = 16  # staged-FIFO window: steps between big-buffer advances
+
+
+def _fifo_word16(wbuf_ref, cur):
+    """Next 16-bit word for every lane from the PAIR-PACKED word buffer:
+    half (cur & 1) of row (cur >> 1), selected from the top 16 rows by a
+    binary tree of static slices (cur stays < 2*_WIN + 1 within a window)."""
+    row = _nib_tree1(wbuf_ref[0:16, :], cur >> 1)
+    return jnp.where((cur & 1) == 0, row >> 16, row & jnp.uint32(0xFFFF))
+
+
+def _adv_roll(wb, adv, cap2: int):
+    """Advance the word buffer by a per-lane variable row count adv in
+    [0, 8] — binary-decomposed conditional rolls, once per window (the
+    per-step conditional full-buffer roll this replaces was the decode
+    kernels' largest non-search cost)."""
+    for sh in (1, 2, 4, 8):
+        wb = jnp.where((adv & sh) != 0, pltpu.roll(wb, cap2 - sh, axis=0), wb)
+    return wb
+
+
 def _decode_fused_kernel(
-    words_ref, len_ref, syms_ref, wbuf, state_scr, x_scr, par_scr,
+    words_ref, len_ref, syms_ref, wbuf, state_scr, x_scr, cur_scr,
     *, v, prob_bits, rate, cap2,
 ):
     """The word streams arrive PAIR-PACKED: one u32 row holds two 16-bit
-    words (high half first). A per-lane parity tracks which half is next, so
-    the shift-register roll — the kernel's main non-search cost — runs on
-    half the rows and only advances when a lane's low half is consumed."""
+    words (high half first). Consumption is staged: within a _WIN-step
+    window, lanes read at a per-lane cursor into the top 16 rows (tree
+    select); the buffer itself only advances once per window."""
     b = state_scr.shape[1]
     mask_pb = jnp.uint32((1 << prob_bits) - 1)
     pid = pl.program_id(0)
@@ -342,46 +382,47 @@ def _decode_fused_kernel(
         w = words_ref[:]
         x_scr[:] = w[0:1, :]  # row 0 = (x_hi << 16) | x_lo already
         wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)  # row 0 consumed by init
-        par_scr[:] = jnp.zeros_like(par_scr)
+        cur_scr[:] = jnp.zeros_like(cur_scr)
         state_scr[:] = _state_init_vb(v, b, prob_bits)
 
     t0 = pid * _FIFO
     lengths = len_ref[:]  # [1, B]
+    state, x, cur = state_scr[:], x_scr[:], cur_scr[:]
 
-    def body(i, carry):
-        state, x, wb, par = carry
-        active = (t0 + i) < lengths
-        eff = state + k  # [V, B] (state pre-scaled; +k is the width guard)
-        slot = (x & mask_pb).astype(jnp.int32)
-        m = eff <= slot  # == (k <= decoded symbol): eff strictly increasing
-        s = jnp.sum(m, axis=0, keepdims=True, dtype=jnp.int32) - 1
-        lo = jnp.max(jnp.where(m, eff, 0), axis=0, keepdims=True)
-        hi = jnp.min(
-            jnp.where(m, jnp.int32(1 << prob_bits), eff), axis=0, keepdims=True
-        )
-        fr = (hi - lo).astype(jnp.uint32)
-        x_new = fr * (x >> prob_bits) + (slot - lo).astype(jnp.uint32)
-        refill = active & (x_new < jnp.uint32(1 << 16))
-        row = wb[0:1, :]
-        w = jnp.where(par == 0, row >> 16, row & jnp.uint32(0xFFFF))
-        x_new = jnp.where(refill, (x_new << 16) | w, x_new)
-        advance = refill & (par == 1)
-        par = jnp.where(refill, 1 - par, par)
-        wb = jnp.where(advance, pltpu.roll(wb, cap2 - 1, axis=0), wb)
-        syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
-        # inactive lanes: rate 31 makes the update an exact no-op (cheaper
-        # than a [V, B] select on `active`)
-        rate_row = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
-        state = _state_update_vb(state, m, rate_row, v, prob_bits)
-        return state, jnp.where(active, x_new, x), wb, par
+    for wi in range(_FIFO // _WIN):
 
-    st, x, wb, par = lax.fori_loop(
-        0, _FIFO, body, (state_scr[:], x_scr[:], wbuf[:], par_scr[:])
-    )
-    state_scr[:] = st
+        def body(j, carry, wi=wi):
+            state, x, cur = carry
+            i = wi * _WIN + j
+            active = (t0 + i) < lengths
+            eff = state + k  # [V, B] (state pre-scaled; +k is the width guard)
+            slot = (x & mask_pb).astype(jnp.int32)
+            m = eff <= slot  # == (k <= decoded symbol): eff strictly increasing
+            s = jnp.sum(m, axis=0, keepdims=True, dtype=jnp.int32) - 1
+            lo = jnp.max(jnp.where(m, eff, 0), axis=0, keepdims=True)
+            hi = jnp.min(
+                jnp.where(m, jnp.int32(1 << prob_bits), eff), axis=0, keepdims=True
+            )
+            fr = (hi - lo).astype(jnp.uint32)
+            x_new = fr * (x >> prob_bits) + (slot - lo).astype(jnp.uint32)
+            refill = active & (x_new < jnp.uint32(1 << 16))
+            w = _fifo_word16(wbuf, cur)
+            x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+            cur = cur + refill.astype(jnp.int32)
+            syms_ref[pl.ds(i, 1), :] = jnp.where(active, s, 0)
+            # inactive lanes: rate 31 makes the update an exact no-op (cheaper
+            # than a [V, B] select on `active`)
+            rate_row = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
+            state = _state_update_vb(state, m, rate_row, v, prob_bits)
+            return state, jnp.where(active, x_new, x), cur
+
+        state, x, cur = lax.fori_loop(0, _WIN, body, (state, x, cur))
+        wbuf[:] = _adv_roll(wbuf[:], cur >> 1, cap2)
+        cur = cur & 1
+
+    state_scr[:] = state
     x_scr[:] = x
-    wbuf[:] = wb
-    par_scr[:] = par
+    cur_scr[:] = cur
 
 
 _FUSED_VMEM_LIMIT = 64 * 1024 * 1024  # v5e VMEM is 128MB; default scoped limit 16MB
@@ -403,6 +444,11 @@ def _decode_fused(words, lengths, t_len, v, prob_bits, rate):
     if cap % 2:
         wt = jnp.concatenate([wt, jnp.zeros((1, b), wt.dtype)], axis=0)
     packed = (wt[0::2] << 16) | wt[1::2]
+    if cap2 < 16:  # the staged FIFO's tree select reads rows 0..15
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((16 - cap2, b), packed.dtype)], axis=0
+        )
+        cap2 = 16
     kern = functools.partial(
         _decode_fused_kernel, v=v, prob_bits=prob_bits, rate=rate, cap2=cap2
     )
@@ -699,7 +745,7 @@ def o0n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int
 
 
 def _o0n_decode_fused_kernel(
-    words_ref, len_ref, syms_ref, wbuf, sl_scr, sh_scr, cnt_scr, x_scr, par_scr,
+    words_ref, len_ref, syms_ref, wbuf, sl_scr, sh_scr, cnt_scr, x_scr, cur_scr,
     *, rate, cap2,
 ):
     b = sh_scr.shape[1]
@@ -711,61 +757,61 @@ def _o0n_decode_fused_kernel(
         w = words_ref[:]
         x_scr[:] = w[0:1, :]
         wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)
-        par_scr[:] = jnp.zeros_like(par_scr)
+        cur_scr[:] = jnp.zeros_like(cur_scr)
         sh_scr[:] = k16 << (_NSB - 4)
         sl_scr[:] = _nib_sl_init(b)
         cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
     t0 = pid * _FIFO
     lengths = len_ref[:]  # [1, B]
+    sh, cnt, x, cur = sh_scr[:], cnt_scr[:], x_scr[:], cur_scr[:]
 
-    def body(i, carry):
-        sh, cnt, x, wb, par = carry
-        active = (t0 + i) < lengths
-        slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        effh = ((sh * _NM) >> _NSB) + k16
-        mh = effh <= (slot >> 8)
-        h = jnp.sum(mh, axis=0, keepdims=True, dtype=jnp.int32) - 1
-        loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
-        hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
-        fh = hih - loh
-        slh = _nib_tree16(sl_scr[:], h)
-        effl = ((slh * _NM) >> _NSB) + k16
-        sc = fh * effl  # scaled lo-nibble boundaries: tile [0, fh*256)
-        r = slot - (loh << 8)
-        ml = sc <= r
-        l = jnp.sum(ml, axis=0, keepdims=True, dtype=jnp.int32) - 1
-        lo_s = jnp.max(jnp.where(ml, sc, 0), axis=0, keepdims=True)
-        hi_s = jnp.min(jnp.where(ml, fh << 8, sc), axis=0, keepdims=True)
-        f12 = (hi_s - lo_s).astype(jnp.uint32)
-        x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
-        refill = active & (x_new < jnp.uint32(1 << 16))
-        row = wb[0:1, :]
-        w = jnp.where(par == 0, row >> 16, row & jnp.uint32(0xFFFF))
-        x_new = jnp.where(refill, (x_new << 16) | w, x_new)
-        advance = refill & (par == 1)
-        par = jnp.where(refill, 1 - par, par)
-        wb = jnp.where(advance, pltpu.roll(wb, cap2 - 1, axis=0), wb)
-        syms_ref[pl.ds(i, 1), :] = jnp.where(active, (h << 4) | l, 0)
-        rh = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
-        sh = _nib_update(sh, mh, rh)
-        rl = jnp.where(active, _rate_at(rate, _nib_tree1(cnt, h)), jnp.int32(31))
-        slh2 = _nib_update(slh, ml, rl)
-        for c in range(_NV):
-            blk = sl_scr[pl.ds(16 * c, 16), :]
-            sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
-        cnt = cnt + jnp.where(active, (k16 == h).astype(jnp.int32), 0)
-        return sh, cnt, jnp.where(active, x_new, x), wb, par
+    for wi in range(_FIFO // _WIN):
 
-    sh, cnt, x, wb, par = lax.fori_loop(
-        0, _FIFO, body,
-        (sh_scr[:], cnt_scr[:], x_scr[:], wbuf[:], par_scr[:]),
-    )
+        def body(j, carry, wi=wi):
+            sh, cnt, x, cur = carry
+            i = wi * _WIN + j
+            active = (t0 + i) < lengths
+            slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            effh = ((sh * _NM) >> _NSB) + k16
+            mh = effh <= (slot >> 8)
+            h = jnp.sum(mh, axis=0, keepdims=True, dtype=jnp.int32) - 1
+            loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
+            hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+            fh = hih - loh
+            slh = _nib_tree16(sl_scr[:], h)
+            effl = ((slh * _NM) >> _NSB) + k16
+            sc = fh * effl  # scaled lo-nibble boundaries: tile [0, fh*256)
+            r = slot - (loh << 8)
+            ml = sc <= r
+            l = jnp.sum(ml, axis=0, keepdims=True, dtype=jnp.int32) - 1
+            lo_s = jnp.max(jnp.where(ml, sc, 0), axis=0, keepdims=True)
+            hi_s = jnp.min(jnp.where(ml, fh << 8, sc), axis=0, keepdims=True)
+            f12 = (hi_s - lo_s).astype(jnp.uint32)
+            x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
+            refill = active & (x_new < jnp.uint32(1 << 16))
+            w = _fifo_word16(wbuf, cur)
+            x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+            cur = cur + refill.astype(jnp.int32)
+            syms_ref[pl.ds(i, 1), :] = jnp.where(active, (h << 4) | l, 0)
+            rh = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
+            sh = _nib_update(sh, mh, rh)
+            rl = jnp.where(active, _rate_at(rate, _nib_tree1(cnt, h)), jnp.int32(31))
+            slh2 = _nib_update(slh, ml, rl)
+            for c in range(_NV):
+                blk = sl_scr[pl.ds(16 * c, 16), :]
+                sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+            cnt = cnt + jnp.where(active, (k16 == h).astype(jnp.int32), 0)
+            return sh, cnt, jnp.where(active, x_new, x), cur
+
+        sh, cnt, x, cur = lax.fori_loop(0, _WIN, body, (sh, cnt, x, cur))
+        wbuf[:] = _adv_roll(wbuf[:], cur >> 1, cap2)
+        cur = cur & 1
+
     sh_scr[:] = sh
     cnt_scr[:] = cnt
     x_scr[:] = x
-    wbuf[:] = wb
-    par_scr[:] = par
+    cur_scr[:] = cur
 
 
 def _o0n_vmem_ok(cap: int, b: int) -> bool:
@@ -789,6 +835,11 @@ def _o0n_decode_fused(words, lengths, t_len, rate):
     if cap % 2:
         wt = jnp.concatenate([wt, jnp.zeros((1, b), wt.dtype)], axis=0)
     packed = (wt[0::2] << 16) | wt[1::2]
+    if cap2 < 16:  # the staged FIFO's tree select reads rows 0..15
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((16 - cap2, b), packed.dtype)], axis=0
+        )
+        cap2 = 16
     kern = functools.partial(_o0n_decode_fused_kernel, rate=rate, cap2=cap2)
     syms = pl.pallas_call(
         kern,
