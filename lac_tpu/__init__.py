@@ -25,3 +25,19 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: LM-scale encode/decode scans take minutes
+# to compile on the TPU backend (remote-compiled through the axon tunnel);
+# caching makes every shape a one-time cost across processes/sessions.
+# Opt out (or redirect) with the standard JAX_COMPILATION_CACHE_DIR env var.
+import os as _os
+
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

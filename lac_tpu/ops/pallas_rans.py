@@ -684,8 +684,10 @@ def _o0n_intervals_kernel(syms_ref, lo_ref, fr_ref, sh_scr, sl_scr, cnt_scr,
         rl = _rate_at(rate, _nib_tree1(cnt, h))
         slh2 = _nib_update(slh, ml, rl)
         for c in range(_NV):
-            blk = sl_scr[pl.ds(16 * c, 16), :]
-            sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+            pltpu.store(
+                sl_scr.at[pl.ds(16 * c, 16), :], slh2,
+                mask=jnp.broadcast_to(h == c, slh2.shape),
+            )
         cnt = cnt + (k16 == h).astype(jnp.int32)
         return sh, cnt
 
@@ -798,6 +800,8 @@ def _o0n_decode_fused_kernel(
             sh = _nib_update(sh, mh, rh)
             rl = jnp.where(active, _rate_at(rate, _nib_tree1(cnt, h)), jnp.int32(31))
             slh2 = _nib_update(slh, ml, rl)
+            # select-RMW beats a masked store here (measured: masked stores
+            # serialize against the tree loads in this kernel)
             for c in range(_NV):
                 blk = sl_scr[pl.ds(16 * c, 16), :]
                 sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)

@@ -109,3 +109,20 @@ def test_cli_roundtrip(tmp_path):
     assert main(["info", str(dst)]) == 0
     assert main(["decompress", str(dst), "-o", str(out)]) == 0
     assert out.read_bytes() == src.read_bytes()
+
+
+def test_order0nib_generic_lanes_roundtrip():
+    """The composed nibble CDF is a valid generic-coder CDF: the XLA-scan
+    rANS-64/32 path (engine lanes) round-trips it without the fused
+    kernels."""
+    from lac_tpu.models.functional import Order0NibCDF
+
+    rng = np.random.default_rng(5)
+    model = Order0NibCDF(vocab=256, prob_bits=16, rate=4)
+    b, t = 3, 96
+    syms = rng.integers(0, 256, (b, t)).astype(np.int32)
+    lengths = np.array([t, 1, t // 2], dtype=np.int32)
+    words, nwords = encode_lanes(syms, lengths, model)
+    out = np.asarray(decode_lanes(np.asarray(words), lengths, model, t))
+    for i in range(b):
+        assert (out[i, : lengths[i]] == syms[i, : lengths[i]]).all()
