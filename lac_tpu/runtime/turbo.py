@@ -104,7 +104,29 @@ def turbo_compress(
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = max(1, -(-n // block_size))
     blocks: list[BlockEntry] = []
+
+    def finish(done0: int, nwords_d, words_d) -> None:
+        """Fetch one wave's results and append its BlockEntries. All host
+        work is vectorized or contiguous-slice: raw-fallback payloads come
+        straight from the input bytes (no strided column copies), coded
+        payloads are contiguous row slices of the one byteswapped grid."""
+        nwords = np.asarray(nwords_d)
+        words = np.asarray(words_d).astype(">u2")  # one pass, not per block
+        nb = min(len(nwords), nblocks - done0)
+        for j in range(nb):
+            start = (done0 + j) * block_size
+            length = min(block_size, n - start)
+            if 2 * int(nwords[j]) >= length and length > 0:
+                # raw fallback: token_count 0 marks an uncoded block, which
+                # bounds expansion on incompressible data at ~1.0x
+                blocks.append(BlockEntry(length, 0, data[start : start + length]))
+            else:
+                blocks.append(
+                    BlockEntry(length, length, words[j, : nwords[j]].tobytes())
+                )
+
     done = 0
+    pending = None  # (done0, nwords_d, words_d): fetch lags dispatch by one
     for wave in _wave_sizes(nblocks):
         # vectorized wave assembly: full blocks land via one reshape; only a
         # possible ragged tail block is copied separately. u8 on the wire —
@@ -127,18 +149,14 @@ def turbo_compress(
         words_d, nwords_d = _encode_wave(
             model, jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate, cap
         )
-        words = np.asarray(words_d).astype(">u2")  # one pass, not per block
-        nwords = np.asarray(nwords_d)
-        for j in range(min(wave, nblocks - done)):
-            raw = syms[: lengths[j], j].tobytes()
-            if 2 * int(nwords[j]) >= len(raw) and len(raw) > 0:
-                # raw fallback: token_count 0 marks an uncoded block, which
-                # bounds expansion on incompressible data at ~1.0x
-                blocks.append(BlockEntry(int(lengths[j]), 0, raw))
-            else:
-                payload = words[j, : nwords[j]].tobytes()
-                blocks.append(BlockEntry(int(lengths[j]), int(lengths[j]), payload))
+        # one-wave pipeline: the blocking fetch of wave i overlaps the
+        # device compute (and upload) of wave i+1
+        if pending is not None:
+            finish(*pending)
+        pending = (done, nwords_d, words_d)
         done += wave
+    if pending is not None:
+        finish(*pending)
     header = ContainerHeader(
         codec=CODEC_RANS32,
         prob_bits=_PB,
@@ -157,43 +175,61 @@ def _decode_block_list(header, blocks) -> list[bytes]:
     rate = header.config["rate"]
     nblocks = len(blocks)
     results: list[bytes] = [b""] * nblocks
+
+    def finish(done0: int, nb: int, lengths: np.ndarray, syms_d) -> None:
+        if syms_d is None:
+            syms_bt = None
+        else:
+            # [T, wave] -> contiguous [wave, T] once, so per-block slices
+            # are row memcpys instead of strided column gathers
+            syms_bt = np.ascontiguousarray(np.asarray(syms_d).T)
+        for j in range(nb):
+            blk = blocks[done0 + j]
+            if blk.token_count == 0 and blk.raw_len > 0:
+                results[done0 + j] = blk.payload
+            else:
+                results[done0 + j] = syms_bt[j, : lengths[j]].tobytes()
+
     done = 0
+    pending = None  # (done0, nb, lengths, syms_d or None)
     for wave in _wave_sizes(nblocks):
         # cap bucketing: size the word grid to the wave's longest coded
         # payload (few fixed buckets to bound recompiles). Raw-fallback
         # blocks guarantee coded payloads < block_size/2 words, so small
         # buckets dominate in practice.
-        maxw = 0
-        for j in range(min(wave, nblocks - done)):
+        nb = min(wave, nblocks - done)
+        coded_j: list[int] = []
+        payloads: list[bytes] = []
+        lengths = np.zeros((wave,), dtype=np.int32)
+        for j in range(nb):
             blk = blocks[done + j]
             if not (blk.token_count == 0 and blk.raw_len > 0):
-                maxw = max(maxw, len(blk.payload) // 2)
-        cap = _decode_cap_bucket(maxw, block_size)
-        words = np.zeros((wave, cap), dtype=np.uint16)  # u16 on the wire
-        lengths = np.zeros((wave,), dtype=np.int32)
-        any_coded = False
-        for j in range(min(wave, nblocks - done)):
-            blk = blocks[done + j]
-            if blk.token_count == 0 and blk.raw_len > 0:
-                continue  # raw block: no decoding needed
-            w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint16)
-            words[j, : len(w)] = w
-            lengths[j] = blk.token_count
-            any_coded = True
-        if any_coded:
-            syms = np.asarray(
-                _decode_wave(
-                    header.model_id, jnp.asarray(words), jnp.asarray(lengths),
-                    block_size, rate,
-                )
-            )  # [T, wave] u8
-        for j in range(min(wave, nblocks - done)):
-            blk = blocks[done + j]
-            if blk.token_count == 0 and blk.raw_len > 0:
-                results[done + j] = blk.payload
-            else:
-                results[done + j] = syms[: lengths[j], j].tobytes()
+                coded_j.append(j)
+                payloads.append(blk.payload)
+                lengths[j] = blk.token_count
+        syms_d = None
+        if coded_j:
+            cap = _decode_cap_bucket(max(len(p) for p in payloads) // 2, block_size)
+            words = np.zeros((wave, cap), dtype=np.uint16)  # u16 on the wire
+            # batch the payload parsing: ONE frombuffer+byteswap over the
+            # joined payload bytes, then per-block row memcpys
+            flat = np.frombuffer(b"".join(payloads), dtype=">u2").astype(np.uint16)
+            off = 0
+            for j, p in zip(coded_j, payloads):
+                k = len(p) // 2
+                words[j, :k] = flat[off : off + k]
+                off += k
+            syms_d = _decode_wave(
+                header.model_id, jnp.asarray(words), jnp.asarray(lengths),
+                block_size, rate,
+            )
+        # one-wave pipeline: fetch of wave i overlaps compute of wave i+1
+        if pending is not None:
+            finish(*pending)
+        pending = (done, nb, lengths, syms_d)
         done += wave
+    if pending is not None:
+        finish(*pending)
     return results
 
 
