@@ -19,7 +19,7 @@ __all__ = ["ByteCodingConfig", "LMCodingConfig", "MeshConfig", "from_dict"]
 class ByteCodingConfig:
     """Byte-alphabet coding (classical models; turbo or XLA-scan codecs)."""
 
-    model_id: str = "order0n"     # order0n/order0c (fused Pallas) | order0 | markov1 ...
+    model_id: str = "order0n"     # order0n/order1n/order0c (fused Pallas) | order0 | markov1 ...
     block_size: int = 1 << 12     # bytes per independent block
     prob_bits: int = 16           # CDF quantization precision (2**prob_bits)
     rate: int = 4                 # adaptation rate base (turbo model)
@@ -27,7 +27,7 @@ class ByteCodingConfig:
     def engine_kwargs(self) -> dict:
         kw = {"model_id": self.model_id, "block_size": self.block_size,
               "prob_bits": self.prob_bits}
-        if self.model_id in ("order0c", "order0n"):
+        if self.model_id in ("order0c", "order0n", "order1n"):
             kw["rate"] = self.rate
         return kw
 

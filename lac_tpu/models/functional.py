@@ -47,6 +47,7 @@ __all__ = [
     "nib_state_to_coder",
     "nib_state_update",
     "Order0NibCDF",
+    "Order1NibCDF",
 ]
 
 
@@ -418,6 +419,64 @@ class Order0NibCDF(ScanModel):
         sl = sl.at[lane, h].set(row)
         cnt = cnt.at[lane, h].add(1)
         return (sh, sl, cnt, step + 1)
+
+
+@dataclass(frozen=True)
+class Order1NibCDF(ScanModel):
+    """Order-1 nibble-factorized byte model (codec "order1n"): the hi
+    nibble is conditioned on the PREVIOUS byte's hi nibble (16 contexts,
+    the same binary-tree context machinery as the lo tables), the lo nibble
+    on the current hi nibble. Strictly dominates the joint-byte order0c
+    model on measured corpora: better ratio (h|prev_h captures most of the
+    order-1 signal at 1/16 the state) AND faster kernels ([16, B]-class
+    ops). Both tables adapt on per-context visit counts."""
+
+    rate: int = 4
+
+    def __post_init__(self):
+        if self.vocab != 256 or self.prob_bits != 16:
+            raise ValueError("Order1NibCDF requires vocab=256, prob_bits=16")
+
+    def init_state(self, batch: int):
+        row = nib_state_init(1)[0]
+        sh = jnp.broadcast_to(row, (batch, NIB_V, NIB_V + 1))
+        sl = jnp.broadcast_to(row, (batch, NIB_V, NIB_V + 1))
+        cnth = jnp.zeros((batch, NIB_V), jnp.int32)
+        cntl = jnp.zeros((batch, NIB_V), jnp.int32)
+        prev_h = jnp.zeros((batch,), jnp.int32)
+        return (sh, sl, cnth, cntl, prev_h)
+
+    def cdf(self, state):
+        sh, sl, _cnth, _cntl, prev_h = state
+        b = sh.shape[0]
+        lane = jnp.arange(b)
+        effh = nib_state_to_coder(sh[lane, prev_h])  # [B, 17]
+        effl = nib_state_to_coder(sl)  # [B, 16, 17]
+        s = jnp.arange(256, dtype=jnp.int32)
+        hs, ls = s >> 4, s & 15
+        loh = effh[:, hs]
+        fh = effh[:, hs + 1] - loh
+        lol = effl[:, hs, ls]
+        cdf = (loh << 8) + fh * lol
+        total = jnp.full((b, 1), 1 << 16, dtype=jnp.int32)
+        return jnp.concatenate([cdf, total], axis=-1)
+
+    def update(self, state, syms):
+        sh, sl, cnth, cntl, prev_h = state
+        h, l = syms >> 4, syms & 15
+        b = sh.shape[0]
+        lane = jnp.arange(b)
+        hrow = sh[lane, prev_h]
+        ch = cnth[lane, prev_h]
+        hrow = nib_state_update(hrow, h, adaptive_rate(self.rate, ch)[:, None])
+        sh = sh.at[lane, prev_h].set(hrow)
+        cnth = cnth.at[lane, prev_h].add(1)
+        lrow = sl[lane, h]
+        cl = cntl[lane, h]
+        lrow = nib_state_update(lrow, l, adaptive_rate(self.rate, cl)[:, None])
+        sl = sl.at[lane, h].set(lrow)
+        cntl = cntl.at[lane, h].add(1)
+        return (sh, sl, cnth, cntl, h)
 
 
 @dataclass(frozen=True)

@@ -14,6 +14,7 @@ from .functional import (
     Order0Decay,
     Order0NibCDF,
     Order0Scan,
+    Order1NibCDF,
     ScanModel,
 )
 
@@ -25,6 +26,7 @@ _SCAN_MODELS = {
     "order0c": Order0CDF,
     "markov1c": MarkovCDF,
     "order0n": Order0NibCDF,
+    "order1n": Order1NibCDF,
 }
 
 

@@ -65,6 +65,8 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.o1n_encode_blocks.argtypes = lib.o0n_encode_blocks.argtypes
+            lib.o1n_decode_blocks.argtypes = lib.o0n_decode_blocks.argtypes
             _lib = lib
         except Exception:
             _lib = None
@@ -80,8 +82,8 @@ def native_compress(
 ) -> bytes:
     """Same container format (and bit-identical payloads) as
     runtime.turbo.turbo_compress for the same (model, block_size, rate)."""
-    if model not in ("order0c", "order0n"):
-        raise ValueError("native model must be order0c or order0n")
+    if model not in ("order0c", "order0n", "order1n"):
+        raise ValueError("native model must be order0c, order0n, or order1n")
     lib = _load()
     if lib is None:
         raise RuntimeError("native coder unavailable (g++ build failed)")
@@ -95,8 +97,9 @@ def native_compress(
     words = np.zeros((nblocks, cap), dtype=np.uint16)
     nwords = np.zeros((nblocks,), dtype=np.int32)
     if n:
-        if model == "order0n":
-            lib.o0n_encode_blocks(
+        if model in ("order0n", "order1n"):
+            enc = lib.o0n_encode_blocks if model == "order0n" else lib.o1n_encode_blocks
+            enc(
                 arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
                 nblocks, cap, rate, words.ctypes.data, nwords.ctypes.data,
             )
@@ -128,8 +131,10 @@ def native_decompress(container: bytes) -> bytes:
     if lib is None:
         raise RuntimeError("native coder unavailable (g++ build failed)")
     header, blocks = read_container(container)
-    if header.codec != CODEC_RANS32 or header.model_id not in ("order0c", "order0n"):
-        raise ValueError("not a turbo (order0c/order0n) container")
+    if header.codec != CODEC_RANS32 or header.model_id not in (
+        "order0c", "order0n", "order1n"
+    ):
+        raise ValueError("not a turbo (order0c/order0n/order1n) container")
     block_size, rate = header.config["block_size"], header.config["rate"]
     cap = block_size + 2
     coded = [(i, b) for i, b in enumerate(blocks)
@@ -151,8 +156,10 @@ def native_decompress(container: bytes) -> bytes:
             out_offsets[j] = total
             total += b.token_count
         out = np.zeros((total,), dtype=np.uint8)
-        if header.model_id == "order0n":
-            lib.o0n_decode_blocks(
+        if header.model_id in ("order0n", "order1n"):
+            dec = (lib.o0n_decode_blocks if header.model_id == "order0n"
+                   else lib.o1n_decode_blocks)
+            dec(
                 words.ctypes.data, lengths.ctypes.data, nc, cap, rate,
                 out_offsets.ctypes.data, out.ctypes.data,
             )

@@ -46,6 +46,10 @@ __all__ = [
     "o0n_encode_fused",
     "o0n_rans32_decode",
     "o0n_decode_fits",
+    "o1n_encode_intervals",
+    "o1n_encode_fused",
+    "o1n_rans32_decode",
+    "o1n_decode_fits",
     "SENTINEL",
 ]
 
@@ -891,3 +895,282 @@ def o0n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: in
         ]
         return jnp.concatenate(outs, axis=1)
     return _o0n_decode_fused(words, lengths, t_len, rate)
+
+
+# --------------------------------------------------------------------------
+# Codec "order1n": order-1 nibble factorization — the hi nibble is
+# conditioned on the PREVIOUS byte's hi nibble (16 contexts, the same
+# tree-extract/conditional-writeback machinery the lo tables already use),
+# the lo nibble on the current hi nibble. Same composed 16-bit rANS step,
+# same coder/compaction/container layers. Better ratio than the joint-byte
+# order0c model AND faster ([16, B]-class model ops); order0n remains the
+# speed-first default. Spec: models.functional.Order1NibCDF.
+# --------------------------------------------------------------------------
+
+
+def _o1n_intervals_kernel(
+    syms_ref, lo_ref, fr_ref, sh_scr, sl_scr, cnth_scr, cntl_scr, ph_scr,
+    *, rate, chunk,
+):
+    b = sl_scr.shape[1]
+    pid = pl.program_id(0)
+    k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+
+    @pl.when(pid == 0)
+    def _():
+        sh_scr[:] = _nib_sl_init(b)
+        sl_scr[:] = _nib_sl_init(b)
+        cnth_scr[:] = jnp.zeros_like(cnth_scr)
+        cntl_scr[:] = jnp.zeros_like(cntl_scr)
+        ph_scr[:] = jnp.zeros_like(ph_scr)
+
+    def body(i, carry):
+        cnth, cntl, ph = carry
+        s = syms_ref[pl.ds(i, 1), :]  # [1, B]
+        h = s >> 4
+        l = s & 15
+        shc = _nib_tree16(sh_scr[:], ph)  # hi table of context prev_h
+        effh = ((shc * _NM) >> _NSB) + k16
+        mh = k16 <= h
+        loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
+        hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+        fh = hih - loh
+        slh = _nib_tree16(sl_scr[:], h)
+        effl = ((slh * _NM) >> _NSB) + k16
+        ml = k16 <= l
+        lol = jnp.max(jnp.where(ml, effl, 0), axis=0, keepdims=True)
+        hil = jnp.min(jnp.where(ml, jnp.int32(256), effl), axis=0, keepdims=True)
+        lo_ref[pl.ds(i, 1), :] = (loh << 8) + fh * lol
+        fr_ref[pl.ds(i, 1), :] = fh * (hil - lol)
+        # both tables adapt on their context's visit count
+        rh = _rate_at(rate, _nib_tree1(cnth, ph))
+        shc2 = _nib_update(shc, mh, rh)
+        for c in range(_NV):
+            pltpu.store(
+                sh_scr.at[pl.ds(16 * c, 16), :], shc2,
+                mask=jnp.broadcast_to(ph == c, shc2.shape),
+            )
+        cnth = cnth + (k16 == ph).astype(jnp.int32)
+        rl = _rate_at(rate, _nib_tree1(cntl, h))
+        slh2 = _nib_update(slh, ml, rl)
+        for c in range(_NV):
+            pltpu.store(
+                sl_scr.at[pl.ds(16 * c, 16), :], slh2,
+                mask=jnp.broadcast_to(h == c, slh2.shape),
+            )
+        cntl = cntl + (k16 == h).astype(jnp.int32)
+        return cnth, cntl, h
+
+    cnth, cntl, ph = lax.fori_loop(
+        0, chunk, body, (cnth_scr[:], cntl_scr[:], ph_scr[:])
+    )
+    cnth_scr[:] = cnth
+    cntl_scr[:] = cntl
+    ph_scr[:] = ph
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def o1n_encode_intervals(syms_tb: jax.Array, rate: int):
+    """Composed (lo12, f12) for the order-1 nibble model; feed into
+    rans32_encode_dense(pb=16) like the order0n path."""
+    t_len, b = syms_tb.shape
+    chunk = min(t_len, max(128, (256 * 1024) // b))
+    while t_len % chunk:
+        chunk //= 2
+    grid = t_len // chunk
+    kern = functools.partial(_o1n_intervals_kernel, rate=rate, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((1, b), jnp.int32),
+        ],
+        interpret=_interp(),
+    )(syms_tb)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o1n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int):
+    b = syms_tb.shape[1]
+    syms_tb = syms_tb.astype(jnp.int32)
+    words, nwords = [], []
+    for c0 in range(0, b, _MAX_KERNEL_LANES):
+        c1 = min(c0 + _MAX_KERNEL_LANES, b)
+        lo, fr = o1n_encode_intervals(syms_tb[:, c0:c1], rate)
+        dense, xfin = rans32_encode_dense(lo, fr, lengths[:, c0:c1], _NPB)
+        w, nw = compact_words(dense, xfin, cap)
+        words.append(w.astype(jnp.uint16))
+        nwords.append(nw)
+    if len(words) == 1:
+        return words[0], nwords[0]
+    return jnp.concatenate(words, axis=0), jnp.concatenate(nwords, axis=0)
+
+
+def _o1n_decode_fused_kernel(
+    words_ref, len_ref, syms_ref, wbuf, sl_scr, sh_scr, cnth_scr, cntl_scr,
+    x_scr, cur_scr, ph_scr, *, rate, cap2,
+):
+    b = sl_scr.shape[1]
+    pid = pl.program_id(0)
+    k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+
+    @pl.when(pid == 0)
+    def _():
+        w = words_ref[:]
+        x_scr[:] = w[0:1, :]
+        wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)
+        cur_scr[:] = jnp.zeros_like(cur_scr)
+        sh_scr[:] = _nib_sl_init(b)
+        sl_scr[:] = _nib_sl_init(b)
+        cnth_scr[:] = jnp.zeros_like(cnth_scr)
+        cntl_scr[:] = jnp.zeros_like(cntl_scr)
+        ph_scr[:] = jnp.zeros_like(ph_scr)
+
+    t0 = pid * _FIFO
+    lengths = len_ref[:]  # [1, B]
+    cnth, cntl, x, cur, ph = (
+        cnth_scr[:], cntl_scr[:], x_scr[:], cur_scr[:], ph_scr[:]
+    )
+
+    for wi in range(_FIFO // _WIN):
+
+        def body(j, carry, wi=wi):
+            cnth, cntl, x, cur, ph = carry
+            i = wi * _WIN + j
+            active = (t0 + i) < lengths
+            slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            shc = _nib_tree16(sh_scr[:], ph)
+            effh = ((shc * _NM) >> _NSB) + k16
+            mh = effh <= (slot >> 8)
+            h = jnp.sum(mh, axis=0, keepdims=True, dtype=jnp.int32) - 1
+            loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
+            hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+            fh = hih - loh
+            slh = _nib_tree16(sl_scr[:], h)
+            effl = ((slh * _NM) >> _NSB) + k16
+            sc = fh * effl
+            r = slot - (loh << 8)
+            ml = sc <= r
+            l = jnp.sum(ml, axis=0, keepdims=True, dtype=jnp.int32) - 1
+            lo_s = jnp.max(jnp.where(ml, sc, 0), axis=0, keepdims=True)
+            hi_s = jnp.min(jnp.where(ml, fh << 8, sc), axis=0, keepdims=True)
+            f12 = (hi_s - lo_s).astype(jnp.uint32)
+            x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
+            refill = active & (x_new < jnp.uint32(1 << 16))
+            w = _fifo_word16(wbuf, cur)
+            x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+            cur = cur + refill.astype(jnp.int32)
+            syms_ref[pl.ds(i, 1), :] = jnp.where(active, (h << 4) | l, 0)
+            rh = jnp.where(active, _rate_at(rate, _nib_tree1(cnth, ph)), jnp.int32(31))
+            shc2 = _nib_update(shc, mh, rh)
+            # select-RMW: masked stores serialize against tree loads here
+            for c in range(_NV):
+                blk = sh_scr[pl.ds(16 * c, 16), :]
+                sh_scr[pl.ds(16 * c, 16), :] = jnp.where(ph == c, shc2, blk)
+            cnth = cnth + jnp.where(active, (k16 == ph).astype(jnp.int32), 0)
+            rl = jnp.where(active, _rate_at(rate, _nib_tree1(cntl, h)), jnp.int32(31))
+            slh2 = _nib_update(slh, ml, rl)
+            for c in range(_NV):
+                blk = sl_scr[pl.ds(16 * c, 16), :]
+                sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+            cntl = cntl + jnp.where(active, (k16 == h).astype(jnp.int32), 0)
+            ph = jnp.where(active, h, ph)
+            return cnth, cntl, jnp.where(active, x_new, x), cur, ph
+
+        cnth, cntl, x, cur, ph = lax.fori_loop(
+            0, _WIN, body, (cnth, cntl, x, cur, ph)
+        )
+        wbuf[:] = _adv_roll(wbuf[:], cur >> 1, cap2)
+        cur = cur & 1
+
+    cnth_scr[:] = cnth
+    cntl_scr[:] = cntl
+    x_scr[:] = x
+    cur_scr[:] = cur
+    ph_scr[:] = ph
+
+
+def _o1n_vmem_ok(cap: int, b: int) -> bool:
+    # o0n budget + the second [256, B] context-table scratch (x2 RMW temps)
+    cap2 = (cap + 1) // 2
+    need = 4 * (5 * cap2 * b + 9 * 16 * _NV * b + 2 * _FIFO * b + 24 * b)
+    return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
+
+
+def o1n_decode_fits(cap: int, b: int) -> bool:
+    return _o1n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES))
+
+
+def _o1n_decode_fused(words, lengths, t_len, rate):
+    b, cap = words.shape
+    n_chunks = -(-t_len // _FIFO)
+    cap2 = (cap + 1) // 2
+    wt = words.T
+    if cap % 2:
+        wt = jnp.concatenate([wt, jnp.zeros((1, b), wt.dtype)], axis=0)
+    packed = (wt[0::2] << 16) | wt[1::2]
+    if cap2 < 16:  # the staged FIFO's tree select reads rows 0..15
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((16 - cap2, b), packed.dtype)], axis=0
+        )
+        cap2 = 16
+    kern = functools.partial(_o1n_decode_fused_kernel, rate=rate, cap2=cap2)
+    syms = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((cap2, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_FIFO, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cap2, b), jnp.uint32),
+            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((1, b), jnp.uint32),
+            pltpu.VMEM((1, b), jnp.int32),
+            pltpu.VMEM((1, b), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=_interp(),
+    )(packed, lengths[None, :].astype(jnp.int32))
+    return syms[:t_len].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o1n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: int):
+    """Order-1 nibble fused decode (see o0n_rans32_decode for contracts)."""
+    words = words.astype(jnp.uint32)
+    b, cap = words.shape
+    if not _o1n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES)):
+        raise ValueError(
+            f"o1n decode geometry (cap={cap}, B={b}) exceeds the fused-kernel "
+            "VMEM budget; compress with a smaller block_size or codec order0c"
+        )
+    if b > _MAX_KERNEL_LANES:
+        outs = [
+            _o1n_decode_fused(
+                words[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                lengths[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                t_len, rate,
+            )
+            for c0 in range(0, b, _MAX_KERNEL_LANES)
+        ]
+        return jnp.concatenate(outs, axis=1)
+    return _o1n_decode_fused(words, lengths, t_len, rate)

@@ -2,14 +2,17 @@
 
 File bytes -> fixed-size blocks -> coding lanes, processed in fixed-shape
 waves of up to MAX_WAVE lanes so every wave reuses one compiled kernel set.
-Two kernel-backed models share the container format and coder spec:
+Three kernel-backed models share the container format and coder spec:
 
 - "order0n" (default): nibble-factorized shift-to-target model — the two
   8-bit nibble CDFs compose into ONE 16-bit rANS step per byte, cutting the
-  per-step vector work from [256, B] to [16, B]-class ops (~1.5-2x the
+  per-step vector work from [256, B] to [16, B]-class ops (~2-2.5x the
   o0c throughput for ~2% ratio on text; better ratio on high-entropy data).
-- "order0c": joint byte-alphabet shift-to-target model (best ratio on
-  text-like data; also the geometry fallback for very large blocks).
+- "order1n": order-1 nibble factorization (hi nibble conditioned on the
+  previous byte's hi nibble) — better ratio than BOTH order0c and order0n,
+  faster than order0c; pick it when ratio matters more than peak speed.
+- "order0c": joint byte-alphabet shift-to-target model (the geometry
+  fallback for blocks too large for the fused nibble decode kernels).
 
 Ratio/speed geometry is (block_size, rate). Measured on one v5e chip at
 B=32768 lanes sustained: see BASELINE.md.
@@ -28,6 +31,9 @@ from ..ops.pallas_rans import (
     o0n_decode_fits,
     o0n_encode_fused,
     o0n_rans32_decode,
+    o1n_decode_fits,
+    o1n_encode_fused,
+    o1n_rans32_decode,
 )
 from ..stream.container import (
     CODEC_RANS32,
@@ -44,7 +50,7 @@ _DEFAULT_BLOCK = 1024
 _DEFAULT_RATE = 4  # base of the adaptive schedule (must match dist/bench)
 _DEFAULT_MODEL = "order0n"
 _PB = 16
-_TURBO_MODELS = ("order0c", "order0n")
+_TURBO_MODELS = ("order0c", "order0n", "order1n")
 
 _CAP_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 
@@ -62,12 +68,16 @@ def _decode_cap_bucket(maxw: int, block_size: int) -> int:
 def _encode_wave(model: str, syms, lengths, rate: int, cap: int):
     if model == "order0n":
         return o0n_encode_fused(syms, lengths, rate, cap)
+    if model == "order1n":
+        return o1n_encode_fused(syms, lengths, rate, cap)
     return o0c_encode_fused(syms, lengths, 256, _PB, rate, cap)
 
 
 def _decode_wave(model: str, words, lengths, block_size: int, rate: int):
     if model == "order0n":
         return o0n_rans32_decode(words, lengths, block_size, rate)
+    if model == "order1n":
+        return o1n_rans32_decode(words, lengths, block_size, rate)
     return o0c_rans32_decode(words, lengths, block_size, 256, _PB, rate)
 
 
@@ -96,7 +106,8 @@ def turbo_compress(
         raise ValueError("turbo block_size must be a multiple of 256")
     if model not in _TURBO_MODELS:
         raise ValueError(f"turbo model must be one of {_TURBO_MODELS}")
-    if model == "order0n" and not o0n_decode_fits(
+    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
+    if model in _fits and not _fits[model](
         _decode_cap_bucket(block_size // 2 + 3, block_size), MAX_WAVE
     ):
         model = "order0c"  # geometry fallback: huge blocks use the chunked-decode codec

@@ -70,7 +70,7 @@ def test_native_throughput_sane():
     assert enc > 3 and dec > 3  # sanity floor; single shared core, suite runs contend, f"native too slow: enc {enc:.1f} dec {dec:.1f} MB/s"
 
 
-@pytest.mark.parametrize("model", ["order0c", "order0n"])
+@pytest.mark.parametrize("model", ["order0c", "order0n", "order1n"])
 def test_native_container_identical_to_pallas_models(model):
     from lac_tpu.runtime.turbo import turbo_compress, turbo_decompress
 

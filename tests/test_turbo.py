@@ -48,7 +48,7 @@ def test_incompressible():
     assert len(c) < len(data) * 1.05
 
 
-@pytest.mark.parametrize("model", ["order0c", "order0n"])
+@pytest.mark.parametrize("model", ["order0c", "order0n", "order1n"])
 def test_roundtrip_models(model):
     data = _text(8000)
     c = turbo_compress(data, block_size=1024, model=model)
@@ -66,19 +66,22 @@ def test_order0n_default_and_engine_dispatch():
     assert decompress_bytes(c2) == data
 
 
-def test_order0n_huge_block_falls_back_to_order0c():
-    """Blocks too large for the o0n fused decode kernel's VMEM budget must
-    silently use the chunked-decode codec instead of failing at decode."""
+@pytest.mark.parametrize("model", ["order0n", "order1n"])
+def test_nibble_huge_block_falls_back_to_order0c(model):
+    """Blocks too large for the fused nibble decode kernels' VMEM budget
+    must silently use the chunked-decode codec instead of failing at
+    decode."""
     data = _text(40000)
-    c = turbo_compress(data, block_size=16384, model="order0n")
+    c = turbo_compress(data, block_size=16384, model=model)
     header, _ = read_container(c)
     assert header.model_id == "order0c"
     assert turbo_decompress(c) == data
 
 
-def test_order0n_incompressible():
+@pytest.mark.parametrize("model", ["order0n", "order1n"])
+def test_nibble_incompressible(model):
     rng = np.random.default_rng(3)
     data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
-    c = turbo_compress(data, block_size=1024, model="order0n")
+    c = turbo_compress(data, block_size=1024, model=model)
     assert turbo_decompress(c) == data
     assert len(c) < len(data) * 1.05
