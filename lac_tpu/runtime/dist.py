@@ -19,6 +19,9 @@ from ..ops.pallas_rans import (
     o0n_decode_fits,
     o0n_encode_fused,
     o0n_rans32_decode,
+    o1n_decode_fits,
+    o1n_encode_fused,
+    o1n_rans32_decode,
 )
 from ..parallel.distributed import allgather_blocks, my_block_span
 from ..stream.container import (
@@ -68,6 +71,11 @@ def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: i
             jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate,
             block_size // 2 + 3,
         )
+    elif model == "order1n":
+        words, nwords = o1n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate,
+            block_size // 2 + 3,
+        )
     else:
         words, nwords = o0c_encode_fused(
             jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
@@ -90,7 +98,10 @@ def compress_distributed(
 ) -> bytes:
     """All processes call this with the same data; returns the container
     (identical on every process)."""
-    if model == "order0n" and not o0n_decode_fits(block_size + 2, 1 << 30):
+    if model not in ("order0c", "order0n", "order1n"):
+        raise ValueError("dist model must be order0c, order0n, or order1n")
+    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
+    if model in _fits and not _fits[model](block_size + 2, 1 << 30):
         model = "order0c"  # geometry fallback, same rule as turbo_compress
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = max(1, -(-len(data) // block_size))
@@ -139,11 +150,10 @@ def decompress_distributed(container: bytes) -> bytes:
             w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
-        if header.model_id == "order0n":
+        if header.model_id in ("order0n", "order1n"):
+            fn = o0n_rans32_decode if header.model_id == "order0n" else o1n_rans32_decode
             dec = lambda: np.asarray(
-                o0n_rans32_decode(
-                    jnp.asarray(words), jnp.asarray(lengths), block_size, rate
-                )
+                fn(jnp.asarray(words), jnp.asarray(lengths), block_size, rate)
             )
         else:
             dec = lambda: np.asarray(

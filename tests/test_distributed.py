@@ -87,3 +87,18 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_distributed_model_roundtrip_order1n():
+    """Every turbo model must round-trip through the distributed driver
+    (guards the encode/decode model dispatch staying in sync with the
+    container's model_id)."""
+    import numpy as np
+
+    from lac_tpu.runtime.dist import compress_distributed, decompress_distributed
+
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(32, 120, 40000, dtype=np.uint8))
+    for model in ("order0n", "order1n", "order0c"):
+        c = compress_distributed(data, block_size=1024, model=model)
+        assert decompress_distributed(c) == data, model
