@@ -652,16 +652,93 @@ def _nib_sl_init(b: int) -> jnp.ndarray:
     return (lax.broadcasted_iota(jnp.int32, (16 * _NV, b), 0) & 15) << (_NSB - 4)
 
 
+# -- packed-pair context tables ---------------------------------------------
+# A 16-row nibble table is stored as 8 u32 rows, two 15-bit states per word
+# (low half = even k, high half = odd k). Tree extracts and conditional
+# writebacks — the dominant VMEM traffic of the nibble kernels — touch half
+# the rows; the arithmetic runs unpacked on (even, odd) [8, B] pairs, so no
+# cross-half carry/borrow discipline is needed.
+
+
+def _nibp_iotas(b: int):
+    r = lax.broadcasted_iota(jnp.int32, (8, b), 0)
+    return 2 * r, 2 * r + 1  # ke, ko
+
+
+def _nibp_unpack(p):
+    """packed u32 [8, B] -> (even, odd) i32 [8, B] (values <= 2**15)."""
+    return (p & jnp.uint32(0xFFFF)).astype(jnp.int32), (p >> 16).astype(jnp.int32)
+
+
+def _nibp_pack(e, o):
+    return (o.astype(jnp.uint32) << 16) | e.astype(jnp.uint32)
+
+
+def _nibp_table_init(b: int, contexts: int) -> jnp.ndarray:
+    """[8*contexts, B] packed uniform tables: row c*8+r packs states for
+    k = 2r (low) and k = 2r+1 (high), each k * 2**(NSB-4)."""
+    r = lax.broadcasted_iota(jnp.int32, (8 * contexts, b), 0) & 7
+    e = (2 * r) << (_NSB - 4)
+    o = (2 * r + 1) << (_NSB - 4)
+    return _nibp_pack(e, o)
+
+
+def _nibp_tree8(buf, h):
+    """Select packed rows [8h, 8h+8) of a [128, B] buffer per lane."""
+    t = jnp.where((h & 8) != 0, buf[64:128], buf[0:64])
+    t = jnp.where((h & 4) != 0, t[32:64], t[0:32])
+    t = jnp.where((h & 2) != 0, t[16:32], t[0:16])
+    return jnp.where((h & 1) != 0, t[8:16], t[0:8])
+
+
+def _nibp_eff(se, so, ke, ko):
+    """Coding-domain boundaries of both halves: eff = ((s*240) >> 15) + k."""
+    return ((se * _NM) >> _NSB) + ke, ((so * _NM) >> _NSB) + ko
+
+
+def _nibp_lohi(effe, effo, me, mo, top):
+    """Boundary extraction under a k <= sym mask pair: lo = eff[sym],
+    hi = eff[sym+1] with the implicit eff[16] = ``top``."""
+    lo = jnp.maximum(
+        jnp.max(jnp.where(me, effe, 0), axis=0, keepdims=True),
+        jnp.max(jnp.where(mo, effo, 0), axis=0, keepdims=True),
+    )
+    hi = jnp.minimum(
+        jnp.min(jnp.where(me, top, effe), axis=0, keepdims=True),
+        jnp.min(jnp.where(mo, top, effo), axis=0, keepdims=True),
+    )
+    return lo, hi
+
+
+def _nibp_search(effe, effo, thr, top):
+    """Largest sym with eff[sym] <= thr: (sym, lo, hi, me, mo)."""
+    me = effe <= thr
+    mo = effo <= thr
+    sym = (
+        jnp.sum(me, axis=0, keepdims=True, dtype=jnp.int32)
+        + jnp.sum(mo, axis=0, keepdims=True, dtype=jnp.int32)
+        - 1
+    )
+    lo, hi = _nibp_lohi(effe, effo, me, mo, top)
+    return sym, lo, hi, me, mo
+
+
+def _nibp_update_pair(se, so, me, mo, rate):
+    return _nib_update(se, me, rate), _nib_update(so, mo, rate)
+
+
 def _o0n_intervals_kernel(syms_ref, lo_ref, fr_ref, sh_scr, sl_scr, cnt_scr,
                           *, rate, chunk):
     b = sh_scr.shape[1]
     pid = pl.program_id(0)
     k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+    ke, ko = _nibp_iotas(b)
+    top = jnp.int32(256)
 
     @pl.when(pid == 0)
     def _():
         sh_scr[:] = k16 << (_NSB - 4)
-        sl_scr[:] = _nib_sl_init(b)
+        sl_scr[:] = _nibp_table_init(b, _NV)
         cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
     def body(i, carry):
@@ -673,24 +750,25 @@ def _o0n_intervals_kernel(syms_ref, lo_ref, fr_ref, sh_scr, sl_scr, cnt_scr,
         effh = ((sh * _NM) >> _NSB) + k16
         mh = k16 <= h
         loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
-        hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+        hih = jnp.min(jnp.where(mh, top, effh), axis=0, keepdims=True)
         fh = hih - loh
-        slh = _nib_tree16(sl_scr[:], h)  # [16, B]
-        effl = ((slh * _NM) >> _NSB) + k16
-        ml = k16 <= l
-        lol = jnp.max(jnp.where(ml, effl, 0), axis=0, keepdims=True)
-        hil = jnp.min(jnp.where(ml, jnp.int32(256), effl), axis=0, keepdims=True)
+        se, so = _nibp_unpack(_nibp_tree8(sl_scr[:], h))
+        effe, effo = _nibp_eff(se, so, ke, ko)
+        me = ke <= l
+        mo = ko <= l
+        lol, hil = _nibp_lohi(effe, effo, me, mo, top)
+        hil = jnp.minimum(hil, top)
         lo_ref[pl.ds(i, 1), :] = (loh << 8) + fh * lol
         fr_ref[pl.ds(i, 1), :] = fh * (hil - lol)
         # updates: hi table on the global-step schedule, lo table on its
         # context's visit count (maturity), matching Order0NibCDF.update
         sh = _nib_update(sh, mh, _rate_at(rate, t))
         rl = _rate_at(rate, _nib_tree1(cnt, h))
-        slh2 = _nib_update(slh, ml, rl)
+        slp = _nibp_pack(*_nibp_update_pair(se, so, me, mo, rl))
         for c in range(_NV):
             pltpu.store(
-                sl_scr.at[pl.ds(16 * c, 16), :], slh2,
-                mask=jnp.broadcast_to(h == c, slh2.shape),
+                sl_scr.at[pl.ds(8 * c, 8), :], slp,
+                mask=jnp.broadcast_to(h == c, slp.shape),
             )
         cnt = cnt + (k16 == h).astype(jnp.int32)
         return sh, cnt
@@ -724,7 +802,7 @@ def o0n_encode_intervals(syms_tb: jax.Array, rate: int):
         ],
         scratch_shapes=[
             pltpu.VMEM((_NV, b), jnp.int32),
-            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),
             pltpu.VMEM((_NV, b), jnp.int32),
         ],
         interpret=_interp(),
@@ -757,6 +835,7 @@ def _o0n_decode_fused_kernel(
     b = sh_scr.shape[1]
     pid = pl.program_id(0)
     k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+    ke, ko = _nibp_iotas(b)
 
     @pl.when(pid == 0)
     def _():
@@ -765,7 +844,7 @@ def _o0n_decode_fused_kernel(
         wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)
         cur_scr[:] = jnp.zeros_like(cur_scr)
         sh_scr[:] = k16 << (_NSB - 4)
-        sl_scr[:] = _nib_sl_init(b)
+        sl_scr[:] = _nibp_table_init(b, _NV)
         cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
     t0 = pid * _FIFO
@@ -785,14 +864,13 @@ def _o0n_decode_fused_kernel(
             loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
             hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
             fh = hih - loh
-            slh = _nib_tree16(sl_scr[:], h)
-            effl = ((slh * _NM) >> _NSB) + k16
-            sc = fh * effl  # scaled lo-nibble boundaries: tile [0, fh*256)
+            se, so = _nibp_unpack(_nibp_tree8(sl_scr[:], h))
+            effe, effo = _nibp_eff(se, so, ke, ko)
+            sce = fh * effe  # scaled lo-nibble boundaries: tile [0, fh*256)
+            sco = fh * effo
             r = slot - (loh << 8)
-            ml = sc <= r
-            l = jnp.sum(ml, axis=0, keepdims=True, dtype=jnp.int32) - 1
-            lo_s = jnp.max(jnp.where(ml, sc, 0), axis=0, keepdims=True)
-            hi_s = jnp.min(jnp.where(ml, fh << 8, sc), axis=0, keepdims=True)
+            l, lo_s, hi_s, me, mo = _nibp_search(sce, sco, r, fh << 8)
+            hi_s = jnp.minimum(hi_s, fh << 8)
             f12 = (hi_s - lo_s).astype(jnp.uint32)
             x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
             refill = active & (x_new < jnp.uint32(1 << 16))
@@ -803,12 +881,12 @@ def _o0n_decode_fused_kernel(
             rh = jnp.where(active, _rate_at(rate, t0 + i), jnp.int32(31))
             sh = _nib_update(sh, mh, rh)
             rl = jnp.where(active, _rate_at(rate, _nib_tree1(cnt, h)), jnp.int32(31))
-            slh2 = _nib_update(slh, ml, rl)
+            slp = _nibp_pack(*_nibp_update_pair(se, so, me, mo, rl))
             # select-RMW beats a masked store here (measured: masked stores
             # serialize against the tree loads in this kernel)
             for c in range(_NV):
-                blk = sl_scr[pl.ds(16 * c, 16), :]
-                sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+                blk = sl_scr[pl.ds(8 * c, 8), :]
+                sl_scr[pl.ds(8 * c, 8), :] = jnp.where(h == c, slp, blk)
             cnt = cnt + jnp.where(active, (k16 == h).astype(jnp.int32), 0)
             return sh, cnt, jnp.where(active, x_new, x), cur
 
@@ -823,9 +901,9 @@ def _o0n_decode_fused_kernel(
 
 
 def _o0n_vmem_ok(cap: int, b: int) -> bool:
-    # o0c fused budget + the [256, B] lo-table scratch (x2 for RMW temps)
+    # o0c fused budget + the packed [128, B] lo-table scratch (x RMW temps)
     cap2 = (cap + 1) // 2
-    need = 4 * (5 * cap2 * b + 5 * 16 * _NV * b + 2 * _FIFO * b + 16 * b)
+    need = 4 * (5 * cap2 * b + 5 * 8 * _NV * b + 2 * _FIFO * b + 16 * b)
     return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
 
 
@@ -860,7 +938,7 @@ def _o0n_decode_fused(words, lengths, t_len, rate):
         out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((cap2, b), jnp.uint32),
-            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),
             pltpu.VMEM((_NV, b), jnp.int32),
             pltpu.VMEM((_NV, b), jnp.int32),
             pltpu.VMEM((1, b), jnp.uint32),
@@ -915,11 +993,13 @@ def _o1n_intervals_kernel(
     b = sl_scr.shape[1]
     pid = pl.program_id(0)
     k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+    ke, ko = _nibp_iotas(b)
+    top = jnp.int32(256)
 
     @pl.when(pid == 0)
     def _():
-        sh_scr[:] = _nib_sl_init(b)
-        sl_scr[:] = _nib_sl_init(b)
+        sh_scr[:] = _nibp_table_init(b, _NV)
+        sl_scr[:] = _nibp_table_init(b, _NV)
         cnth_scr[:] = jnp.zeros_like(cnth_scr)
         cntl_scr[:] = jnp.zeros_like(cntl_scr)
         ph_scr[:] = jnp.zeros_like(ph_scr)
@@ -929,34 +1009,36 @@ def _o1n_intervals_kernel(
         s = syms_ref[pl.ds(i, 1), :]  # [1, B]
         h = s >> 4
         l = s & 15
-        shc = _nib_tree16(sh_scr[:], ph)  # hi table of context prev_h
-        effh = ((shc * _NM) >> _NSB) + k16
-        mh = k16 <= h
-        loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
-        hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+        she, sho = _nibp_unpack(_nibp_tree8(sh_scr[:], ph))  # ctx prev_h
+        effhe, effho = _nibp_eff(she, sho, ke, ko)
+        mhe = ke <= h
+        mho = ko <= h
+        loh, hih = _nibp_lohi(effhe, effho, mhe, mho, top)
+        hih = jnp.minimum(hih, top)
         fh = hih - loh
-        slh = _nib_tree16(sl_scr[:], h)
-        effl = ((slh * _NM) >> _NSB) + k16
-        ml = k16 <= l
-        lol = jnp.max(jnp.where(ml, effl, 0), axis=0, keepdims=True)
-        hil = jnp.min(jnp.where(ml, jnp.int32(256), effl), axis=0, keepdims=True)
+        sle, slo = _nibp_unpack(_nibp_tree8(sl_scr[:], h))
+        effle, efflo = _nibp_eff(sle, slo, ke, ko)
+        mle = ke <= l
+        mlo = ko <= l
+        lol, hil = _nibp_lohi(effle, efflo, mle, mlo, top)
+        hil = jnp.minimum(hil, top)
         lo_ref[pl.ds(i, 1), :] = (loh << 8) + fh * lol
         fr_ref[pl.ds(i, 1), :] = fh * (hil - lol)
         # both tables adapt on their context's visit count
         rh = _rate_at(rate, _nib_tree1(cnth, ph))
-        shc2 = _nib_update(shc, mh, rh)
+        shp = _nibp_pack(*_nibp_update_pair(she, sho, mhe, mho, rh))
         for c in range(_NV):
             pltpu.store(
-                sh_scr.at[pl.ds(16 * c, 16), :], shc2,
-                mask=jnp.broadcast_to(ph == c, shc2.shape),
+                sh_scr.at[pl.ds(8 * c, 8), :], shp,
+                mask=jnp.broadcast_to(ph == c, shp.shape),
             )
         cnth = cnth + (k16 == ph).astype(jnp.int32)
         rl = _rate_at(rate, _nib_tree1(cntl, h))
-        slh2 = _nib_update(slh, ml, rl)
+        slp = _nibp_pack(*_nibp_update_pair(sle, slo, mle, mlo, rl))
         for c in range(_NV):
             pltpu.store(
-                sl_scr.at[pl.ds(16 * c, 16), :], slh2,
-                mask=jnp.broadcast_to(h == c, slh2.shape),
+                sl_scr.at[pl.ds(8 * c, 8), :], slp,
+                mask=jnp.broadcast_to(h == c, slp.shape),
             )
         cntl = cntl + (k16 == h).astype(jnp.int32)
         return cnth, cntl, h
@@ -992,8 +1074,8 @@ def o1n_encode_intervals(syms_tb: jax.Array, rate: int):
             jax.ShapeDtypeStruct((t_len, b), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((16 * _NV, b), jnp.int32),
-            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),
             pltpu.VMEM((_NV, b), jnp.int32),
             pltpu.VMEM((_NV, b), jnp.int32),
             pltpu.VMEM((1, b), jnp.int32),
@@ -1026,6 +1108,8 @@ def _o1n_decode_fused_kernel(
     b = sl_scr.shape[1]
     pid = pl.program_id(0)
     k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+    ke, ko = _nibp_iotas(b)
+    top = jnp.int32(256)
 
     @pl.when(pid == 0)
     def _():
@@ -1033,8 +1117,8 @@ def _o1n_decode_fused_kernel(
         x_scr[:] = w[0:1, :]
         wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)
         cur_scr[:] = jnp.zeros_like(cur_scr)
-        sh_scr[:] = _nib_sl_init(b)
-        sl_scr[:] = _nib_sl_init(b)
+        sh_scr[:] = _nibp_table_init(b, _NV)
+        sl_scr[:] = _nibp_table_init(b, _NV)
         cnth_scr[:] = jnp.zeros_like(cnth_scr)
         cntl_scr[:] = jnp.zeros_like(cntl_scr)
         ph_scr[:] = jnp.zeros_like(ph_scr)
@@ -1052,21 +1136,16 @@ def _o1n_decode_fused_kernel(
             i = wi * _WIN + j
             active = (t0 + i) < lengths
             slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
-            shc = _nib_tree16(sh_scr[:], ph)
-            effh = ((shc * _NM) >> _NSB) + k16
-            mh = effh <= (slot >> 8)
-            h = jnp.sum(mh, axis=0, keepdims=True, dtype=jnp.int32) - 1
-            loh = jnp.max(jnp.where(mh, effh, 0), axis=0, keepdims=True)
-            hih = jnp.min(jnp.where(mh, jnp.int32(256), effh), axis=0, keepdims=True)
+            she, sho = _nibp_unpack(_nibp_tree8(sh_scr[:], ph))
+            effhe, effho = _nibp_eff(she, sho, ke, ko)
+            h, loh, hih, mhe, mho = _nibp_search(effhe, effho, slot >> 8, top)
+            hih = jnp.minimum(hih, top)
             fh = hih - loh
-            slh = _nib_tree16(sl_scr[:], h)
-            effl = ((slh * _NM) >> _NSB) + k16
-            sc = fh * effl
+            sle, slo = _nibp_unpack(_nibp_tree8(sl_scr[:], h))
+            effle, efflo = _nibp_eff(sle, slo, ke, ko)
             r = slot - (loh << 8)
-            ml = sc <= r
-            l = jnp.sum(ml, axis=0, keepdims=True, dtype=jnp.int32) - 1
-            lo_s = jnp.max(jnp.where(ml, sc, 0), axis=0, keepdims=True)
-            hi_s = jnp.min(jnp.where(ml, fh << 8, sc), axis=0, keepdims=True)
+            l, lo_s, hi_s, mle, mlo = _nibp_search(fh * effle, fh * efflo, r, fh << 8)
+            hi_s = jnp.minimum(hi_s, fh << 8)
             f12 = (hi_s - lo_s).astype(jnp.uint32)
             x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
             refill = active & (x_new < jnp.uint32(1 << 16))
@@ -1075,17 +1154,17 @@ def _o1n_decode_fused_kernel(
             cur = cur + refill.astype(jnp.int32)
             syms_ref[pl.ds(i, 1), :] = jnp.where(active, (h << 4) | l, 0)
             rh = jnp.where(active, _rate_at(rate, _nib_tree1(cnth, ph)), jnp.int32(31))
-            shc2 = _nib_update(shc, mh, rh)
+            shp = _nibp_pack(*_nibp_update_pair(she, sho, mhe, mho, rh))
             # select-RMW: masked stores serialize against tree loads here
             for c in range(_NV):
-                blk = sh_scr[pl.ds(16 * c, 16), :]
-                sh_scr[pl.ds(16 * c, 16), :] = jnp.where(ph == c, shc2, blk)
+                blk = sh_scr[pl.ds(8 * c, 8), :]
+                sh_scr[pl.ds(8 * c, 8), :] = jnp.where(ph == c, shp, blk)
             cnth = cnth + jnp.where(active, (k16 == ph).astype(jnp.int32), 0)
             rl = jnp.where(active, _rate_at(rate, _nib_tree1(cntl, h)), jnp.int32(31))
-            slh2 = _nib_update(slh, ml, rl)
+            slp = _nibp_pack(*_nibp_update_pair(sle, slo, mle, mlo, rl))
             for c in range(_NV):
-                blk = sl_scr[pl.ds(16 * c, 16), :]
-                sl_scr[pl.ds(16 * c, 16), :] = jnp.where(h == c, slh2, blk)
+                blk = sl_scr[pl.ds(8 * c, 8), :]
+                sl_scr[pl.ds(8 * c, 8), :] = jnp.where(h == c, slp, blk)
             cntl = cntl + jnp.where(active, (k16 == h).astype(jnp.int32), 0)
             ph = jnp.where(active, h, ph)
             return cnth, cntl, jnp.where(active, x_new, x), cur, ph
@@ -1104,9 +1183,9 @@ def _o1n_decode_fused_kernel(
 
 
 def _o1n_vmem_ok(cap: int, b: int) -> bool:
-    # o0n budget + the second [256, B] context-table scratch (x2 RMW temps)
+    # o0n budget + the second packed [128, B] context-table scratch
     cap2 = (cap + 1) // 2
-    need = 4 * (5 * cap2 * b + 9 * 16 * _NV * b + 2 * _FIFO * b + 24 * b)
+    need = 4 * (5 * cap2 * b + 9 * 8 * _NV * b + 2 * _FIFO * b + 24 * b)
     return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
 
 
@@ -1139,8 +1218,8 @@ def _o1n_decode_fused(words, lengths, t_len, rate):
         out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((cap2, b), jnp.uint32),
-            pltpu.VMEM((16 * _NV, b), jnp.int32),
-            pltpu.VMEM((16 * _NV, b), jnp.int32),
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),
             pltpu.VMEM((_NV, b), jnp.int32),
             pltpu.VMEM((_NV, b), jnp.int32),
             pltpu.VMEM((1, b), jnp.uint32),
