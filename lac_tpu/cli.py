@@ -123,13 +123,21 @@ def _cmd_train(args) -> int:
     from .models.lm_registry import PRESETS
     from .train import save_checkpoint, train_byte_lm
 
+    import dataclasses
+
     corpus = open(args.file, "rb").read()
     cfg = PRESETS[args.preset]()
     params, losses = train_byte_lm(
         cfg, corpus, steps=args.steps, batch=args.batch, seq=args.seq,
         lr=args.lr, seed=args.seed, log_every=max(1, args.steps // 20),
     )
-    save_checkpoint(args.output, cfg, params)
+    # RoPE positions beyond ~2x the training sequence length are unlearned
+    # and collapse prediction quality (measured ~3x worse bpb at 4x); cap the
+    # checkpoint's usable context so the coding engines window within it
+    save_checkpoint(
+        args.output, dataclasses.replace(cfg, max_seq=min(cfg.max_seq, 2 * args.seq)),
+        params,
+    )
     print(f"saved {args.output} (final loss {losses[-1]:.4f} nats, "
           f"{losses[-1] / 0.6931:.3f} bits/byte train)")
     return 0

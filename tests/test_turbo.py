@@ -85,3 +85,24 @@ def test_nibble_incompressible(model):
     c = turbo_compress(data, block_size=1024, model=model)
     assert turbo_decompress(c) == data
     assert len(c) < len(data) * 1.05
+
+
+def test_codec_fuzz_cross_implementation():
+    """Randomized cross-codec sweep: mixed-entropy payloads with ragged
+    tails through every turbo codec; Pallas and native containers must be
+    byte-identical and both must round-trip."""
+    from lac_tpu.native.host import native_available, native_compress
+
+    rng = np.random.default_rng(17)
+    chunks = [
+        rng.integers(0, 256, 3000, dtype=np.uint8).tobytes(),   # incompressible
+        bytes(rng.integers(97, 102, 5000, dtype=np.uint8)),      # low entropy
+        _text(2500),                                             # word-ish text
+        b"\x00" * 1500,                                          # degenerate
+    ]
+    data = b"".join(chunks)[: 11801]  # ragged final block
+    for model in ("order0n", "order1n", "order0c"):
+        c = turbo_compress(data, block_size=1024, model=model)
+        assert turbo_decompress(c) == data, model
+        if native_available():
+            assert native_compress(data, block_size=1024, model=model) == c, model
