@@ -53,6 +53,19 @@ def lm_compress_bytes(
     nblocks = max(1, -(-n // block_tokens))
     fingerprint = lm_fingerprint(cfg, params, prob_bits)
     blocks: list[BlockEntry] = []
+
+    def finish(w0: int, nb: int, words_d, nwords_d) -> None:
+        words, nwords = np.asarray(words_d), np.asarray(nwords_d)
+        for j in range(nb):
+            start = (w0 + j) * block_tokens
+            length = min(block_tokens, n - start)
+            payload = words[j, : nwords[j]].astype(">u4").tobytes()
+            if len(payload) >= length and length > 0:
+                blocks.append(BlockEntry(length, 0, data[start : start + length]))
+            else:
+                blocks.append(BlockEntry(length, length, payload))
+
+    pending = None  # one-wave pipeline: fetch wave i while i+1 computes
     for w0 in range(0, nblocks, lanes):
         nb = min(lanes, nblocks - w0)
         tokens = np.zeros((lanes, block_tokens), dtype=np.int32)
@@ -61,17 +74,14 @@ def lm_compress_bytes(
             chunk = arr[(w0 + j) * block_tokens : (w0 + j + 1) * block_tokens]
             tokens[j, : len(chunk)] = chunk
             lengths[j] = len(chunk)
-        words, nwords = lm_encode_windowed(
+        words_d, nwords_d = lm_encode_windowed(
             cfg, params, tokens, lengths, prob_bits, overlap
         )
-        words, nwords = np.asarray(words), np.asarray(nwords)
-        for j in range(nb):
-            payload = words[j, : nwords[j]].astype(">u4").tobytes()
-            raw = tokens[j, : lengths[j]].astype(np.uint8).tobytes()
-            if len(payload) >= len(raw) and len(raw) > 0:
-                blocks.append(BlockEntry(int(lengths[j]), 0, raw))
-            else:
-                blocks.append(BlockEntry(int(lengths[j]), int(lengths[j]), payload))
+        if pending is not None:
+            finish(*pending)
+        pending = (w0, nb, words_d, nwords_d)
+    if pending is not None:
+        finish(*pending)
     header = ContainerHeader(
         codec=CODEC_RANS64,
         prob_bits=prob_bits,
@@ -103,12 +113,24 @@ def lm_decompress_bytes(container: bytes, model=None) -> bytes:
         )
     block_tokens, lanes, overlap = c["block_tokens"], c["lanes"], c["overlap"]
     cap = encode_capacity(block_tokens)
-    out = bytearray()
     nblocks = len(blocks)
+    parts: list[bytes] = [b""] * nblocks
+
+    def finish(w0: int, nb: int, lengths: np.ndarray, syms_d) -> None:
+        syms = None if syms_d is None else np.asarray(syms_d)
+        for j in range(nb):
+            blk = blocks[w0 + j]
+            if blk.token_count == 0 and blk.raw_len > 0:
+                parts[w0 + j] = blk.payload
+            else:
+                parts[w0 + j] = syms[j, : blk.token_count].astype(np.uint8).tobytes()
+
+    pending = None
     for w0 in range(0, nblocks, lanes):
         nb = min(lanes, nblocks - w0)
         words = np.zeros((lanes, cap), dtype=np.uint32)
         lengths = np.zeros((lanes,), dtype=np.int32)
+        any_coded = False
         for j in range(nb):
             blk = blocks[w0 + j]
             if blk.token_count == 0 and blk.raw_len > 0:
@@ -116,17 +138,20 @@ def lm_decompress_bytes(container: bytes, model=None) -> bytes:
             w = np.frombuffer(blk.payload, dtype=">u4").astype(np.uint32)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
-        syms = np.asarray(
-            lm_decode_windowed(
+            any_coded = True
+        syms_d = None
+        if any_coded:
+            syms_d = lm_decode_windowed(
                 cfg, params, words, lengths, header.prob_bits, block_tokens, overlap
             )
-        )
-        for j in range(nb):
-            blk = blocks[w0 + j]
-            if blk.token_count == 0 and blk.raw_len > 0:
-                out += blk.payload
-            else:
-                out += syms[j, : blk.token_count].astype(np.uint8).tobytes()
+        if pending is not None:
+            finish(*pending)
+        pending = (w0, nb, lengths, syms_d)
+    if pending is not None:
+        finish(*pending)
+    out = bytearray()
+    for p in parts:
+        out += p
     if len(out) != header.original_len:
         raise ValueError("decoded length mismatch")
     return bytes(out)
