@@ -84,6 +84,16 @@ def native_compress(
     runtime.turbo.turbo_compress for the same (model, block_size, rate)."""
     if model not in ("order0c", "order0n", "order1n"):
         raise ValueError("native model must be order0c, order0n, or order1n")
+    # identical geometry fallback to turbo_compress: containers must stay
+    # byte-identical across the two producers AND decodable by the TPU path
+    from ..ops.pallas_rans import o0n_decode_fits, o1n_decode_fits
+    from ..runtime.turbo import MAX_WAVE, _decode_cap_bucket
+
+    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
+    if model in _fits and not _fits[model](
+        _decode_cap_bucket(block_size // 2 + 3, block_size), MAX_WAVE
+    ):
+        model = "order0c"
     lib = _load()
     if lib is None:
         raise RuntimeError("native coder unavailable (g++ build failed)")

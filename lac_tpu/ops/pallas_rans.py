@@ -143,7 +143,8 @@ def o0c_encode_intervals(syms_tb: jax.Array, v: int, prob_bits: int, rate: int):
     # chunk scales down with lane count: 3 chunk blocks x2 buffers + state +
     # loop temporaries must fit the 16MB scoped-VMEM budget
     chunk = min(t_len, max(128, (256 * 1024) // b))
-    while t_len % chunk:
+    chunk = 1 << (chunk.bit_length() - 1)  # pow2: keeps the divisor loop from
+    while t_len % chunk:                   # collapsing at odd lane counts
         chunk //= 2
     grid = t_len // chunk
     kern = functools.partial(
@@ -235,6 +236,7 @@ def rans32_encode_dense(lo_tb: jax.Array, fr_tb: jax.Array, lengths: jax.Array, 
     [2, B] u32: the final state as (high, low) 16-bit words)."""
     t_len, b = lo_tb.shape
     chunk = min(t_len, max(128, (256 * 1024) // b))  # scoped-VMEM budget
+    chunk = 1 << (chunk.bit_length() - 1)  # pow2 (see o0c_encode_intervals)
     while t_len % chunk:
         chunk //= 2
     grid = t_len // chunk
@@ -784,7 +786,8 @@ def o0n_encode_intervals(syms_tb: jax.Array, rate: int):
     with total 2**16 — feed straight into rans32_encode_dense(pb=16)."""
     t_len, b = syms_tb.shape
     chunk = min(t_len, max(128, (256 * 1024) // b))
-    while t_len % chunk:
+    chunk = 1 << (chunk.bit_length() - 1)  # pow2: keeps the divisor loop from
+    while t_len % chunk:                   # collapsing at odd lane counts
         chunk //= 2
     grid = t_len // chunk
     kern = functools.partial(_o0n_intervals_kernel, rate=rate, chunk=chunk)
@@ -809,16 +812,16 @@ def o0n_encode_intervals(syms_tb: jax.Array, rate: int):
     )(syms_tb)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def o0n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int):
-    """Codec-3 encode, one executable (mirror of o0c_encode_fused; the rANS
-    and compaction stages are shared — one composed step per byte)."""
+def _nib_encode_fused(intervals_fn, syms_tb, lengths, rate: int, cap: int):
+    """Shared fused-encode driver for the nibble codecs: model intervals ->
+    rANS dense grid -> compaction, split into <=2048-lane sub-kernels inside
+    one executable (see o0c_encode_fused for the dispatch-cost rationale)."""
     b = syms_tb.shape[1]
     syms_tb = syms_tb.astype(jnp.int32)
     words, nwords = [], []
     for c0 in range(0, b, _MAX_KERNEL_LANES):
         c1 = min(c0 + _MAX_KERNEL_LANES, b)
-        lo, fr = o0n_encode_intervals(syms_tb[:, c0:c1], rate)
+        lo, fr = intervals_fn(syms_tb[:, c0:c1], rate)
         dense, xfin = rans32_encode_dense(lo, fr, lengths[:, c0:c1], _NPB)
         w, nw = compact_words(dense, xfin, cap)
         words.append(w.astype(jnp.uint16))
@@ -826,6 +829,11 @@ def o0n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int
     if len(words) == 1:
         return words[0], nwords[0]
     return jnp.concatenate(words, axis=0), jnp.concatenate(nwords, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o0n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int):
+    return _nib_encode_fused(o0n_encode_intervals, syms_tb, lengths, rate, cap)
 
 
 def _o0n_decode_fused_kernel(
@@ -913,7 +921,10 @@ def o0n_decode_fits(cap: int, b: int) -> bool:
     return _o0n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES))
 
 
-def _o0n_decode_fused(words, lengths, t_len, rate):
+def _nib_decode_call(kernel, extra_scratch, words, lengths, t_len, rate):
+    """Shared fused-decode driver for the nibble codecs: pair-pack the word
+    grid (padded to the staged FIFO's 16-row minimum), then run `kernel`
+    with the common (wbuf, <model scratches>, x, cur) scratch layout."""
     b, cap = words.shape
     n_chunks = -(-t_len // _FIFO)
     cap2 = (cap + 1) // 2
@@ -926,7 +937,7 @@ def _o0n_decode_fused(words, lengths, t_len, rate):
             [packed, jnp.zeros((16 - cap2, b), packed.dtype)], axis=0
         )
         cap2 = 16
-    kern = functools.partial(_o0n_decode_fused_kernel, rate=rate, cap2=cap2)
+    kern = functools.partial(kernel, rate=rate, cap2=cap2)
     syms = pl.pallas_call(
         kern,
         grid=(n_chunks,),
@@ -936,35 +947,28 @@ def _o0n_decode_fused(words, lengths, t_len, rate):
         ],
         out_specs=pl.BlockSpec((_FIFO, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((cap2, b), jnp.uint32),
-            pltpu.VMEM((8 * _NV, b), jnp.uint32),
-            pltpu.VMEM((_NV, b), jnp.int32),
-            pltpu.VMEM((_NV, b), jnp.int32),
-            pltpu.VMEM((1, b), jnp.uint32),
-            pltpu.VMEM((1, b), jnp.int32),
-        ],
+        scratch_shapes=[pltpu.VMEM((cap2, b), jnp.uint32)]
+        + list(extra_scratch(b))
+        + [pltpu.VMEM((1, b), jnp.uint32), pltpu.VMEM((1, b), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=_interp(),
     )(packed, lengths[None, :].astype(jnp.int32))
     return syms[:t_len].astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def o0n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: int):
-    """Codec-3 fused decode. words: [B, cap] u16/u32 decode-order; returns
-    syms [T, B] uint8. The geometry must satisfy o0n_decode_fits (the
-    compressor gates block_size, so every codec-3 container decodes here)."""
+def _nib_decode_split(decode_one, fits_one, words, lengths, t_len, rate, name):
+    """Shared VMEM gate + >MAX_KERNEL_LANES sub-kernel splitting."""
     words = words.astype(jnp.uint32)
     b, cap = words.shape
-    if not _o0n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES)):
+    if not fits_one(cap, min(b, _MAX_KERNEL_LANES)):
         raise ValueError(
-            f"o0n decode geometry (cap={cap}, B={b}) exceeds the fused-kernel "
-            "VMEM budget; compress with a smaller block_size or codec order0c"
+            f"{name} decode geometry (cap={cap}, B={b}) exceeds the fused-"
+            "kernel VMEM budget; compress with a smaller block_size or codec "
+            "order0c"
         )
     if b > _MAX_KERNEL_LANES:
         outs = [
-            _o0n_decode_fused(
+            decode_one(
                 words[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
                 lengths[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
                 t_len, rate,
@@ -972,7 +976,28 @@ def o0n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: in
             for c0 in range(0, b, _MAX_KERNEL_LANES)
         ]
         return jnp.concatenate(outs, axis=1)
-    return _o0n_decode_fused(words, lengths, t_len, rate)
+    return decode_one(words, lengths, t_len, rate)
+
+
+def _o0n_decode_fused(words, lengths, t_len, rate):
+    scratches = lambda b: [
+        pltpu.VMEM((8 * _NV, b), jnp.uint32),  # sl (packed context tables)
+        pltpu.VMEM((_NV, b), jnp.int32),       # sh
+        pltpu.VMEM((_NV, b), jnp.int32),       # cnt
+    ]
+    return _nib_decode_call(
+        _o0n_decode_fused_kernel, scratches, words, lengths, t_len, rate
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o0n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: int):
+    """Codec-3 fused decode. words: [B, cap] u16/u32 decode-order; returns
+    syms [T, B] uint8. The geometry must satisfy o0n_decode_fits (the
+    compressor gates block_size, so every codec-3 container decodes here)."""
+    return _nib_decode_split(
+        _o0n_decode_fused, _o0n_vmem_ok, words, lengths, t_len, rate, "o0n"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1057,7 +1082,8 @@ def o1n_encode_intervals(syms_tb: jax.Array, rate: int):
     rans32_encode_dense(pb=16) like the order0n path."""
     t_len, b = syms_tb.shape
     chunk = min(t_len, max(128, (256 * 1024) // b))
-    while t_len % chunk:
+    chunk = 1 << (chunk.bit_length() - 1)  # pow2: keeps the divisor loop from
+    while t_len % chunk:                   # collapsing at odd lane counts
         chunk //= 2
     grid = t_len // chunk
     kern = functools.partial(_o1n_intervals_kernel, rate=rate, chunk=chunk)
@@ -1086,24 +1112,12 @@ def o1n_encode_intervals(syms_tb: jax.Array, rate: int):
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def o1n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int):
-    b = syms_tb.shape[1]
-    syms_tb = syms_tb.astype(jnp.int32)
-    words, nwords = [], []
-    for c0 in range(0, b, _MAX_KERNEL_LANES):
-        c1 = min(c0 + _MAX_KERNEL_LANES, b)
-        lo, fr = o1n_encode_intervals(syms_tb[:, c0:c1], rate)
-        dense, xfin = rans32_encode_dense(lo, fr, lengths[:, c0:c1], _NPB)
-        w, nw = compact_words(dense, xfin, cap)
-        words.append(w.astype(jnp.uint16))
-        nwords.append(nw)
-    if len(words) == 1:
-        return words[0], nwords[0]
-    return jnp.concatenate(words, axis=0), jnp.concatenate(nwords, axis=0)
+    return _nib_encode_fused(o1n_encode_intervals, syms_tb, lengths, rate, cap)
 
 
 def _o1n_decode_fused_kernel(
     words_ref, len_ref, syms_ref, wbuf, sl_scr, sh_scr, cnth_scr, cntl_scr,
-    x_scr, cur_scr, ph_scr, *, rate, cap2,
+    ph_scr, x_scr, cur_scr, *, rate, cap2,
 ):
     b = sl_scr.shape[1]
     pid = pl.program_id(0)
@@ -1194,62 +1208,21 @@ def o1n_decode_fits(cap: int, b: int) -> bool:
 
 
 def _o1n_decode_fused(words, lengths, t_len, rate):
-    b, cap = words.shape
-    n_chunks = -(-t_len // _FIFO)
-    cap2 = (cap + 1) // 2
-    wt = words.T
-    if cap % 2:
-        wt = jnp.concatenate([wt, jnp.zeros((1, b), wt.dtype)], axis=0)
-    packed = (wt[0::2] << 16) | wt[1::2]
-    if cap2 < 16:  # the staged FIFO's tree select reads rows 0..15
-        packed = jnp.concatenate(
-            [packed, jnp.zeros((16 - cap2, b), packed.dtype)], axis=0
-        )
-        cap2 = 16
-    kern = functools.partial(_o1n_decode_fused_kernel, rate=rate, cap2=cap2)
-    syms = pl.pallas_call(
-        kern,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((cap2, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_FIFO, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chunks * _FIFO, b), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((cap2, b), jnp.uint32),
-            pltpu.VMEM((8 * _NV, b), jnp.uint32),
-            pltpu.VMEM((8 * _NV, b), jnp.uint32),
-            pltpu.VMEM((_NV, b), jnp.int32),
-            pltpu.VMEM((_NV, b), jnp.int32),
-            pltpu.VMEM((1, b), jnp.uint32),
-            pltpu.VMEM((1, b), jnp.int32),
-            pltpu.VMEM((1, b), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
-        interpret=_interp(),
-    )(packed, lengths[None, :].astype(jnp.int32))
-    return syms[:t_len].astype(jnp.uint8)
+    scratches = lambda b: [
+        pltpu.VMEM((8 * _NV, b), jnp.uint32),  # sl (packed context tables)
+        pltpu.VMEM((8 * _NV, b), jnp.uint32),  # sh (packed context tables)
+        pltpu.VMEM((_NV, b), jnp.int32),       # cnth
+        pltpu.VMEM((_NV, b), jnp.int32),       # cntl
+        pltpu.VMEM((1, b), jnp.int32),         # prev_h
+    ]
+    return _nib_decode_call(
+        _o1n_decode_fused_kernel, scratches, words, lengths, t_len, rate
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def o1n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: int):
     """Order-1 nibble fused decode (see o0n_rans32_decode for contracts)."""
-    words = words.astype(jnp.uint32)
-    b, cap = words.shape
-    if not _o1n_vmem_ok(cap, min(b, _MAX_KERNEL_LANES)):
-        raise ValueError(
-            f"o1n decode geometry (cap={cap}, B={b}) exceeds the fused-kernel "
-            "VMEM budget; compress with a smaller block_size or codec order0c"
-        )
-    if b > _MAX_KERNEL_LANES:
-        outs = [
-            _o1n_decode_fused(
-                words[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
-                lengths[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
-                t_len, rate,
-            )
-            for c0 in range(0, b, _MAX_KERNEL_LANES)
-        ]
-        return jnp.concatenate(outs, axis=1)
-    return _o1n_decode_fused(words, lengths, t_len, rate)
+    return _nib_decode_split(
+        _o1n_decode_fused, _o1n_vmem_ok, words, lengths, t_len, rate, "o1n"
+    )

@@ -100,8 +100,12 @@ def compress_distributed(
     (identical on every process)."""
     if model not in ("order0c", "order0n", "order1n"):
         raise ValueError("dist model must be order0c, order0n, or order1n")
+    from .turbo import _decode_cap_bucket
+
     _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
-    if model in _fits and not _fits[model](block_size + 2, 1 << 30):
+    if model in _fits and not _fits[model](
+        _decode_cap_bucket(block_size // 2 + 3, block_size), 1 << 30
+    ):
         model = "order0c"  # geometry fallback, same rule as turbo_compress
     arr = np.frombuffer(data, dtype=np.uint8)
     nblocks = max(1, -(-len(data) // block_size))
@@ -143,7 +147,12 @@ def decompress_distributed(container: bytes) -> bytes:
     span = blocks[start:end]
     coded = [b for b in span if not (b.token_count == 0 and b.raw_len > 0)]
     if coded:
-        cap = block_size + 2
+        from .turbo import _decode_cap_bucket
+
+        # size the grid to the span's longest coded payload (raw fallback
+        # bounds coded payloads below block_size//2+3 words) — the fixed
+        # block_size+2 grid used to blow the nibble kernels' VMEM gate
+        cap = _decode_cap_bucket(max(len(b.payload) for b in coded) // 2, block_size)
         words = np.zeros((len(coded), cap), dtype=np.uint32)
         lengths = np.zeros((len(coded),), dtype=np.int32)
         for j, blk in enumerate(coded):

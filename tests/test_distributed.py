@@ -102,3 +102,18 @@ def test_distributed_model_roundtrip_order1n():
     for model in ("order0n", "order1n", "order0c"):
         c = compress_distributed(data, block_size=1024, model=model)
         assert decompress_distributed(c) == data, model
+
+
+def test_distributed_decode_large_blocks_nibble():
+    """Regression: decompress_distributed used a fixed block_size+2 decode
+    grid, which blew the nibble kernels' VMEM gate for containers the
+    default engine path produces at block_size=4096; the grid must be sized
+    from the actual payloads."""
+    import numpy as np
+
+    from lac_tpu.runtime.dist import compress_distributed, decompress_distributed
+
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(32, 120, 5 * 4096 + 777, dtype=np.uint8))
+    c = compress_distributed(data, block_size=4096, model="order0n")
+    assert decompress_distributed(c) == data

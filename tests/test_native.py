@@ -80,3 +80,17 @@ def test_native_container_identical_to_pallas_models(model):
     assert cn == cp
     assert native_decompress(cp) == data
     assert turbo_decompress(cn) == data
+
+
+def test_native_geometry_fallback_matches_turbo():
+    """Regression: native_compress must apply the same nibble-geometry
+    fallback as turbo_compress so containers stay byte-identical (and
+    TPU-decodable) at block sizes beyond the fused decode kernels' VMEM
+    budget."""
+    from lac_tpu.runtime.turbo import turbo_compress
+
+    data = _text(40000)
+    cn = native_compress(data, block_size=16384, model="order0n")
+    cp = turbo_compress(data, block_size=16384, model="order0n")
+    assert cn == cp
+    assert native_decompress(cp) == data
