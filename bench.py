@@ -81,6 +81,22 @@ def main() -> int:
     te = med(lambda: encode(syms_d)[1])
     td = med(lambda: o0n_rans32_decode(words, lengths, T, RATE))
 
+    # ratio codec (order1n): measured on a single 2048-lane chunk
+    from lac_tpu.ops.pallas_rans import o1n_encode_fused, o1n_rans32_decode
+
+    s1 = syms_d[:, :2048]
+    l1 = lengths[:2048]
+    w1, nw1 = o1n_encode_fused(s1, l1[None, :], RATE, T // 2 + 3)
+    o1n_bpb = 16 * float(jnp.mean(nw1)) / T
+    maxw1 = int(jnp.max(nw1))
+    cap1 = next(c for c in (64, 128, 192, 256, 384, 512) if c >= maxw1)
+    words1 = jnp.asarray(jnp.asarray(w1)[:, :cap1])
+    mb1 = 2048 * T / 1e6
+    # single-chunk measurements need more reps per sync to amortize the
+    # tunnel round-trip the way the full-wave numbers do
+    t1e = med(lambda: o1n_encode_fused(s1, l1[None, :], RATE, T // 2 + 3)[1], reps=40)
+    t1d = med(lambda: o1n_rans32_decode(words1, l1, T, RATE), reps=40)
+
     # LM-path throughput (flagship capability): lock-step coding with the
     # ~20M-param byte LM preset, B lanes in one jitted scan
     import dataclasses as _dc
@@ -123,6 +139,9 @@ def main() -> int:
             "block": T,
             "lm_byte12l_encode_tok_s": round(lm_enc_tps, 0),
             "lm_byte12l_decode_tok_s": round(lm_dec_tps, 0),
+            "order1n_encode_MBps": round(mb1 / t1e, 1),
+            "order1n_decode_MBps": round(mb1 / t1d, 1),
+            "order1n_bits_per_byte": round(o1n_bpb, 4),
         },
     }))
     return 0

@@ -170,7 +170,7 @@ def main(argv=None) -> int:
     c.add_argument("--model-ref", default="prng:byte-12l:0",
                    help="LM predictor ref (prng:<preset>:<seed> or hf:<path>)")
     c.add_argument("--block-tokens", type=int, default=512)
-    c.add_argument("--lanes", type=int, default=16)
+    c.add_argument("--lanes", type=int, default=64)
     c.set_defaults(fn=_cmd_compress)
 
     d = sub.add_parser("decompress", help="decompress a .lac container")

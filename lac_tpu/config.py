@@ -38,7 +38,7 @@ class LMCodingConfig:
 
     model_ref: str = "prng:byte-12l:0"  # prng:<preset>:<seed> | hf:<path>
     block_tokens: int = 512             # tokens per independent block
-    lanes: int = 16                     # batched streams per wave
+    lanes: int = 64                     # batched streams per wave
     prob_bits: int = 16
     window: int | None = None           # sliding context window (None = block)
     overlap: int = 2                    # window keep fraction denominator

@@ -33,7 +33,7 @@ def lm_compress_bytes(
     data: bytes,
     model_ref: str = "prng:tiny:0",
     block_tokens: int = 512,
-    lanes: int = 16,
+    lanes: int = 64,
     prob_bits: int = 16,
     overlap: int = 2,
     max_seq: int | None = None,
