@@ -20,6 +20,8 @@ B=32768 lanes sustained: see BASELINE.md.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -137,37 +139,39 @@ def turbo_compress(
                 )
 
     done = 0
-    pending = None  # (done0, nwords_d, words_d): fetch lags dispatch by one
-    for wave in _wave_sizes(nblocks):
-        # vectorized wave assembly: full blocks land via one reshape; only a
-        # possible ragged tail block is copied separately. u8 on the wire —
-        # the harness tunnel is bandwidth-bound, so dtype width is host-path
-        # throughput (casts happen on device).
-        syms = np.zeros((block_size, wave), dtype=np.uint8)  # time-major
-        lengths = np.zeros((wave,), dtype=np.int32)
-        span = arr[done * block_size : min((done + wave) * block_size, n)]
-        full = len(span) // block_size
-        syms[:, :full] = span[: full * block_size].reshape(full, block_size).T
-        lengths[:full] = block_size
-        if full < wave and full * block_size < len(span):
-            tail = span[full * block_size :]
-            syms[: len(tail), full] = tail
-            lengths[full] = len(tail)
-        # cap at block_size//2+3: any lane needing more words than that has
-        # payload >= raw and is stored raw below (checked on nwords BEFORE
-        # slicing, so truncation of its word list is immaterial)
-        cap = block_size // 2 + 3
-        words_d, nwords_d = _encode_wave(
-            model, jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate, cap
-        )
-        # one-wave pipeline: the blocking fetch of wave i overlaps the
-        # device compute (and upload) of wave i+1
-        if pending is not None:
-            finish(*pending)
-        pending = (done, nwords_d, words_d)
-        done += wave
-    if pending is not None:
-        finish(*pending)
+    fut = None
+    # the single worker keeps finish() calls in submission order (so the
+    # blocks list stays ordered) while the main thread assembles and
+    # dispatches the next wave during wave i's blocking fetch
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        for wave in _wave_sizes(nblocks):
+            # vectorized wave assembly: full blocks land via one reshape;
+            # only a possible ragged tail block is copied separately. u8 on
+            # the wire — the harness tunnel is bandwidth-bound, so dtype
+            # width is host-path throughput (casts happen on device).
+            syms = np.zeros((block_size, wave), dtype=np.uint8)  # time-major
+            lengths = np.zeros((wave,), dtype=np.int32)
+            span = arr[done * block_size : min((done + wave) * block_size, n)]
+            full = len(span) // block_size
+            syms[:, :full] = span[: full * block_size].reshape(full, block_size).T
+            lengths[:full] = block_size
+            if full < wave and full * block_size < len(span):
+                tail = span[full * block_size :]
+                syms[: len(tail), full] = tail
+                lengths[full] = len(tail)
+            # cap at block_size//2+3: any lane needing more words than that
+            # has payload >= raw and is stored raw below (checked on nwords
+            # BEFORE slicing, so truncation of its word list is immaterial)
+            cap = block_size // 2 + 3
+            words_d, nwords_d = _encode_wave(
+                model, jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate, cap
+            )
+            if fut is not None:
+                fut.result()
+            fut = pool.submit(finish, done, nwords_d, words_d)
+            done += wave
+        if fut is not None:
+            fut.result()
     header = ContainerHeader(
         codec=CODEC_RANS32,
         prob_bits=_PB,
@@ -202,7 +206,17 @@ def _decode_block_list(header, blocks) -> list[bytes]:
                 results[done0 + j] = syms_bt[j, : lengths[j]].tobytes()
 
     done = 0
-    pending = None  # (done0, nb, lengths, syms_d or None)
+    fut = None
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        _decode_waves(header, blocks, nblocks, results, finish, pool)
+    return results
+
+
+def _decode_waves(header, blocks, nblocks, results, finish, pool):
+    block_size = header.config["block_size"]
+    rate = header.config["rate"]
+    done = 0
+    fut = None
     for wave in _wave_sizes(nblocks):
         # cap bucketing: size the word grid to the wave's longest coded
         # payload (few fixed buckets to bound recompiles). Raw-fallback
@@ -235,13 +249,14 @@ def _decode_block_list(header, blocks) -> list[bytes]:
                 block_size, rate,
             )
         # one-wave pipeline: fetch of wave i overlaps compute of wave i+1
-        if pending is not None:
-            finish(*pending)
-        pending = (done, nb, lengths, syms_d)
+        # AND the main thread's assembly of wave i+1 (single worker keeps
+        # result order)
+        if fut is not None:
+            fut.result()
+        fut = pool.submit(finish, done, nb, lengths, syms_d)
         done += wave
-    if pending is not None:
-        finish(*pending)
-    return results
+    if fut is not None:
+        fut.result()
 
 
 def turbo_decompress(container: bytes) -> bytes:
