@@ -89,7 +89,7 @@ def main() -> int:
     w1, nw1 = o1n_encode_fused(s1, l1[None, :], RATE, T // 2 + 3)
     o1n_bpb = 16 * float(jnp.mean(nw1)) / T
     maxw1 = int(jnp.max(nw1))
-    cap1 = next(c for c in (64, 128, 192, 256, 384, 512) if c >= maxw1)
+    cap1 = next(c for c in (64, 128, 192, 256, 384, 512, T // 2 + 3) if c >= maxw1)
     words1 = jnp.asarray(jnp.asarray(w1)[:, :cap1])
     mb1 = 2048 * T / 1e6
     # single-chunk measurements need more reps per sync to amortize the

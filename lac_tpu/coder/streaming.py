@@ -25,7 +25,7 @@ from collections import deque
 from typing import Callable
 
 from ..models.base import Predictor
-from ..utils.bits import BitWriter, unpack_bits
+from ..utils.bits import unpack_bits
 from .reference import DEFAULT_PRECISION, ArithmeticEncoder, _IntervalState
 
 __all__ = ["StreamingEncoder", "StreamingDecoder"]
@@ -82,12 +82,7 @@ class StreamingEncoder:
             return b""
         self._finished = True
         self._enc.flush()
-        tail = self._enc.writer.drain()
-        w: BitWriter = self._enc.writer
-        if w._nacc:  # expose the padded partial byte exactly once
-            tail += bytes([w._acc << (8 - w._nacc)])
-            w._acc = 0
-            w._nacc = 0
+        tail = self._enc.writer.drain() + self._enc.writer.flush_partial()
         if tail and self._on_bytes:
             self._on_bytes(tail)
         return tail

@@ -7,6 +7,13 @@ split into independent fixed-size blocks, every block is a coder lane, and
 one ``lax.scan`` steps all lanes together — model CDF, rANS state update,
 word emission — entirely on device. Model state resets per block, which is
 also the recovery/parallelism unit (container framing).
+
+Role: correctness oracle / CI path. These XLA-scan codecs run ALL blocks as
+one lane set with a T-step scan — at the documented per-step dispatch
+overhead (ops/pallas_rans.py) they are orders of magnitude slower than the
+fused-Pallas turbo engine (runtime/turbo.py), which is the production byte
+path. Use them to cross-check the coder spec (tests do, bit-for-bit) and on
+hosts without the Pallas kernels, not for throughput.
 """
 
 from __future__ import annotations

@@ -116,7 +116,7 @@ def lm_decompress_bytes(container: bytes, model=None) -> bytes:
     nblocks = len(blocks)
     parts: list[bytes] = [b""] * nblocks
 
-    def finish(w0: int, nb: int, lengths: np.ndarray, syms_d) -> None:
+    def finish(w0: int, nb: int, syms_d) -> None:
         syms = None if syms_d is None else np.asarray(syms_d)
         for j in range(nb):
             blk = blocks[w0 + j]
@@ -146,7 +146,7 @@ def lm_decompress_bytes(container: bytes, model=None) -> bytes:
             )
         if pending is not None:
             finish(*pending)
-        pending = (w0, nb, lengths, syms_d)
+        pending = (w0, nb, syms_d)
     if pending is not None:
         finish(*pending)
     out = bytearray()

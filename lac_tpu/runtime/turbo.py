@@ -205,8 +205,6 @@ def _decode_block_list(header, blocks) -> list[bytes]:
             else:
                 results[done0 + j] = syms_bt[j, : lengths[j]].tobytes()
 
-    done = 0
-    fut = None
     with ThreadPoolExecutor(max_workers=1) as pool:
         _decode_waves(header, blocks, nblocks, results, finish, pool)
     return results
@@ -262,7 +260,7 @@ def _decode_waves(header, blocks, nblocks, results, finish, pool):
 def turbo_decompress(container: bytes) -> bytes:
     header, blocks = read_container(container)
     if header.codec != CODEC_RANS32 or header.model_id not in _TURBO_MODELS:
-        raise ValueError("not a turbo (order0c/order0n) container")
+        raise ValueError(f"not a turbo {_TURBO_MODELS} container")
     out = b"".join(_decode_block_list(header, blocks))
     if len(out) != header.original_len:
         raise ValueError("decoded length mismatch")
@@ -273,5 +271,5 @@ def turbo_decompress_blocks(container: bytes, indices) -> list[bytes]:
     """Random-access decode of selected blocks only."""
     header, blocks = read_container(container)
     if header.codec != CODEC_RANS32 or header.model_id not in _TURBO_MODELS:
-        raise ValueError("not a turbo (order0c/order0n) container")
+        raise ValueError(f"not a turbo {_TURBO_MODELS} container")
     return _decode_block_list(header, [blocks[i] for i in indices])

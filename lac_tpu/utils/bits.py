@@ -50,6 +50,17 @@ class BitWriter:
         self._buf.clear()
         return out
 
+    def flush_partial(self) -> bytes:
+        """Zero-pad and return the buffered partial byte (empty if none),
+        resetting the accumulator. For terminating a streamed bit sequence
+        after ``drain``; emits each padded byte exactly once."""
+        if not self._nacc:
+            return b""
+        out = bytes([self._acc << (8 - self._nacc)])
+        self._acc = 0
+        self._nacc = 0
+        return out
+
 
 class BitReader:
     """Reads bits MSB-first from bytes; reads past the end yield ``pad_bit``.
