@@ -24,7 +24,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .transformer import LMConfig
+from .transformer import LMConfig, stack_layers
 
 __all__ = ["config_from_hf", "params_from_hf_state_dict", "load_hf_model"]
 
@@ -118,6 +118,7 @@ def _gpt2_params(cfg: LMConfig, sd: dict, bos_token_id: int, dt) -> dict:
             "b_down": _j(p("mlp.c_proj.bias"), dt),
         }
         params["layers"].append(layer)
+    params["layers"] = stack_layers(params["layers"])
     return params
 
 
@@ -145,6 +146,7 @@ def _llama_params(cfg: LMConfig, sd: dict, bos_token_id: int, dt) -> dict:
             "w_down": _j(np.asarray(p("mlp.down_proj.weight")).T, dt),
         }
         params["layers"].append(layer)
+    params["layers"] = stack_layers(params["layers"])
     return params
 
 

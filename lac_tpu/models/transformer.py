@@ -39,6 +39,7 @@ __all__ = [
     "init_params",
     "init_cache",
     "forward",
+    "stack_layers",
     "GPT2_SMALL",
     "TINYLLAMA_1B",
     "LLAMA2_7B",
@@ -154,15 +155,30 @@ def init_params(cfg: LMConfig, key: jax.Array) -> dict:
             ]:
                 layer[name] = jnp.zeros((width,), cfg.dtype)
         params["layers"].append(layer)
+    # per-layer init (bit-identical to the historical per-layer layout),
+    # stored stacked for the scan-over-layers forward
+    params["layers"] = stack_layers(params["layers"])
     return params
 
 
+def stack_layers(layers: list[dict]) -> dict:
+    """Per-layer param dicts -> one dict whose leaves carry a leading
+    ``[n_layers, ...]`` axis — the layout ``forward``'s ``lax.scan`` over
+    layers consumes. Loaders (hf_loader, train.load_checkpoint) build
+    per-layer lists for clarity and stack once here."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
 def init_cache(cfg: LMConfig, batch: int, window: int | None = None) -> dict:
-    """KV cache over the context window. ``pos`` is the shared write cursor
-    (all lanes run lock-step). Per-layer entries (not one stacked [L, ...]
-    tensor): stacked caches force XLA to rebuild the whole array on every
-    layer's dynamic_update_slice inside scan carries — measured 10x step
-    cost on v5e.
+    """KV cache over the context window, stacked ``[L, B, W, KVH, Dh]``.
+    ``pos`` is the shared write cursor (all lanes run lock-step).
+
+    The stacked layout pairs with the scan-over-layers ``forward``: each
+    layer's slice is *read* as a scan input (xs), fresh K/V come out as
+    stacked scan outputs (ys), and the whole cache updates via ONE
+    dynamic_update_slice per forward — not one per layer. (A stacked cache
+    with per-layer in-scan updates was measured 10x step cost on v5e in
+    round 1; read-only xs + a single outer update avoids that rebuild.)
 
     ``window`` (default cfg.max_seq) sizes the cache: every decode step
     reads the WHOLE cache (static shapes), so blocks shorter than the model
@@ -172,13 +188,8 @@ def init_cache(cfg: LMConfig, batch: int, window: int | None = None) -> dict:
     hd, kvh = cfg.head_dim, cfg.n_kv_heads
     w = cfg.max_seq if window is None else min(window, cfg.max_seq)
     return {
-        "layers": [
-            {
-                "k": jnp.zeros((batch, w, kvh, hd), cfg.dtype),
-                "v": jnp.zeros((batch, w, kvh, hd), cfg.dtype),
-            }
-            for _ in range(cfg.n_layers)
-        ],
+        "k": jnp.zeros((cfg.n_layers, batch, w, kvh, hd), cfg.dtype),
+        "v": jnp.zeros((cfg.n_layers, batch, w, kvh, hd), cfg.dtype),
         "pos": jnp.zeros((), jnp.int32),
     }
 
@@ -214,7 +225,21 @@ def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _attention(cfg: LMConfig, p: dict, x: jax.Array, layer_cache: dict, pos):
+def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool):
+    """One layer's attention against (read-only cache slice, fresh K/V).
+
+    The cache is never written here: queries attend to the old cache
+    entries (positions < ``pos``) and to this call's fresh K/V (causal
+    within the block) under ONE softmax over the concatenated score axis —
+    mathematically identical to writing K/V into the cache first, but the
+    cache stays a read-only scan input so the stacked cache can be updated
+    by a single outer dynamic_update_slice (see ``forward``).
+
+    ``prefill=True`` asserts the cache is empty (pos==0) and skips the
+    cache-side scores entirely — training and re-prime prefills would
+    otherwise pay a fully-masked [S, W] score block.
+
+    Returns (y, fresh_k, fresh_v)."""
     b, s, d = x.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -233,39 +258,44 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, layer_cache: dict, pos):
         q = _rope(cfg, q, positions)
         k = _rope(cfg, k, positions)
 
-    # indices must share one dtype even under scoped x64 (literal 0 would
-    # weakly promote to int64 there while pos is int32)
-    z = jnp.zeros((), jnp.int32)
-    ck = jax.lax.dynamic_update_slice(layer_cache["k"], k, (z, pos, z, z))
-    cv = jax.lax.dynamic_update_slice(layer_cache["v"], v, (z, pos, z, z))
-
     # GQA without materializing repeated K/V: fold the query-head expansion
     # into the einsum as a grouped head axis. jnp.repeat of the cached K/V
     # ([B, W, H, Dh] per layer per step) was measured as the dominant HBM
     # traffic at TinyLlama-1.1B scale (~6GB/step at B=64).
     rep = h // kvh
     qg = q.reshape(b, s, kvh, rep, hd)
-    # bf16 einsum inputs with f32 accumulation: materializing f32 casts of
-    # the cached K/V doubles the per-step HBM traffic (measured dominant)
-    scores = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
-    scores = scores * (f32(1.0) / jnp.sqrt(f32(hd)))
-    # causal + validity mask over absolute cache positions (exact -inf);
-    # window derives from the cache shape, not cfg.max_seq
-    w_ids = jnp.arange(ck.shape[1], dtype=jnp.int32)[None, None, None, None, :]
-    q_ids = positions[None, None, None, :, None]
-    mask = w_ids <= q_ids
-    scores = jnp.where(mask, scores, f32(-jnp.inf))
-    probs = jax.nn.softmax(scores, axis=-1)
-    # exact zeros survive the downcast, so masked positions still contribute
-    # exactly nothing to the PV product
-    out = jnp.einsum(
-        "bkrsw,bwkd->bskrd", probs.astype(cfg.dtype), cv, preferred_element_type=f32
-    ).astype(cfg.dtype)
+    scale = f32(1.0) / jnp.sqrt(f32(hd))
+    # fresh-block scores: causal within the block (exact -inf masking so
+    # masked positions contribute exactly zero after softmax)
+    sf = jnp.einsum("bskrd,bjkd->bkrsj", qg, k, preferred_element_type=f32)
+    i_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, :, None]
+    j_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, None, :]
+    sf = jnp.where(j_ids <= i_ids, sf * scale, f32(-jnp.inf))
+    if prefill:
+        probs = jax.nn.softmax(sf, axis=-1)
+        out = jnp.einsum(
+            "bkrsj,bjkd->bskrd", probs.astype(cfg.dtype), v,
+            preferred_element_type=f32,
+        ).astype(cfg.dtype)
+    else:
+        # bf16 einsum inputs with f32 accumulation: materializing f32 casts
+        # of the cached K/V doubles the per-step HBM traffic (measured
+        # dominant); window derives from the cache shape, not cfg.max_seq
+        sc = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
+        w_ids = jnp.arange(ck.shape[1], dtype=jnp.int32)[None, None, None, None, :]
+        sc = jnp.where(w_ids < pos, sc * scale, f32(-jnp.inf))
+        probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
+        pc = probs[..., : ck.shape[1]].astype(cfg.dtype)
+        pf = probs[..., ck.shape[1] :].astype(cfg.dtype)
+        out = (
+            jnp.einsum("bkrsw,bwkd->bskrd", pc, cv, preferred_element_type=f32)
+            + jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
+        ).astype(cfg.dtype)
     out = out.reshape(b, s, h * hd)
     y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
     if cfg.use_bias:
         y = y + p["bo"]
-    return y, {"k": ck, "v": cv}
+    return y, k, v
 
 
 def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
@@ -283,27 +313,40 @@ def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
     return y
 
 
-def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict):
+def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
+            prefill: bool = False):
     """Run S tokens through the model starting at cache position ``pos``.
 
     tokens: [B, S] int32 (values in [0, vocab]; ``vocab`` = BOS row).
     Returns (logits [B, S, vocab] float32, updated cache). S=1 is the decode
     step; S=W is the (re)prime/prefill. Same function, same math, so the
     step schedule — not the call style — determines the computation.
+
+    The layer stack runs as ONE ``lax.scan`` over stacked layer params and
+    stacked cache slices (compile graph is O(1) in depth, not O(L) — the
+    unrolled version wedged the XLA compiler beyond ~64 lanes at 1B scale),
+    and the stacked KV cache updates via a single dynamic_update_slice.
+
+    ``prefill=True``: promise that the cache is empty (pos must be 0) —
+    skips the cache-side attention (an all-masked [S, W] score block).
     """
     x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, D]
+    pos = cache["pos"]
     if cfg.pos_embedding == "learned":
         s = tokens.shape[1]
-        positions = cache["pos"] + jnp.arange(s, dtype=jnp.int32)
+        positions = pos + jnp.arange(s, dtype=jnp.int32)
         x = x + params["pos_embed"][positions][None, :, :].astype(cfg.dtype)
-    new_cache = {"layers": [], "pos": cache["pos"]}
-    for i, layer in enumerate(params["layers"]):
-        h, lc = _attention(
-            cfg, layer, _norm(cfg, layer["ln1"], x), cache["layers"][i], cache["pos"]
-        )
-        new_cache["layers"].append(lc)
+
+    def layer_step(x, xs):
+        lp, ck, cv = xs
+        h, fk, fv = _attention(cfg, lp, _norm(cfg, lp["ln1"], x), ck, cv, pos, prefill)
         x = x + h
-        x = x + _mlp(cfg, layer, _norm(cfg, layer["ln2"], x))
+        x = x + _mlp(cfg, lp, _norm(cfg, lp["ln2"], x))
+        return x, (fk, fv)
+
+    x, (fk, fv) = jax.lax.scan(
+        layer_step, x, (params["layers"], cache["k"], cache["v"])
+    )
     x = _norm(cfg, params["final_norm"], x)
     if cfg.tie_embeddings:
         wh = params["embed"][: cfg.vocab].T  # [D, V]
@@ -315,5 +358,13 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict):
     logits = jnp.dot(
         x.astype(cfg.dtype), wh.astype(cfg.dtype), preferred_element_type=f32
     )
-    new_cache["pos"] = cache["pos"] + jnp.int32(tokens.shape[1])
+    # ONE stacked-cache write for all layers ([L, B, S, KVH, Dh] at pos);
+    # indices share one dtype even under scoped x64 (a literal 0 would
+    # weakly promote to int64 there while pos is int32)
+    z = jnp.zeros((), jnp.int32)
+    new_cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], fk, (z, z, pos, z, z)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], fv, (z, z, pos, z, z)),
+        "pos": pos + jnp.int32(tokens.shape[1]),
+    }
     return logits, new_cache

@@ -24,17 +24,19 @@ __all__ = ["param_shardings", "shard_params", "cache_pspecs", "lane_pspec"]
 
 
 def param_pspecs(params: dict) -> dict:
-    """PartitionSpec tree matching models.transformer param trees."""
+    """PartitionSpec tree matching models.transformer param trees.
+    ``layers`` leaves are stacked ``[n_layers, ...]`` (scan-over-layers
+    layout), so every layer spec carries a leading replicated axis."""
 
-    def layer_spec(layer: dict) -> dict:
+    def layer_spec(layers: dict) -> dict:
         spec = {}
-        for k in layer:
+        for k in layers:
             if k in ("wq", "wk", "wv", "w_up", "w_gate"):
-                spec[k] = P(None, "model")
+                spec[k] = P(None, None, "model")
             elif k in ("wo", "w_down"):
-                spec[k] = P("model", None)
+                spec[k] = P(None, "model", None)
             elif k in ("bq", "bk", "bv", "b_up"):
-                spec[k] = P("model")
+                spec[k] = P(None, "model")
             else:  # norms, bo, b_down: replicated
                 spec[k] = P()
         return spec
@@ -42,7 +44,7 @@ def param_pspecs(params: dict) -> dict:
     spec: dict = {
         "embed": P(),
         "final_norm": {k: P() for k in params["final_norm"]},
-        "layers": [layer_spec(l) for l in params["layers"]],
+        "layers": layer_spec(params["layers"]),
     }
     if "pos_embed" in params:
         spec["pos_embed"] = P()
@@ -65,12 +67,11 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
 
 
 def cache_pspecs(n_layers: int) -> dict:
-    # per-layer cache: k/v [B, W, KVH, Dh]; lanes over data, kv heads over model
-    kv = P("data", None, "model", None)
-    return {
-        "layers": [{"k": kv, "v": kv} for _ in range(n_layers)],
-        "pos": P(),
-    }
+    # stacked cache: k/v [L, B, W, KVH, Dh]; lanes over data, kv heads over
+    # model (n_layers kept in the signature for call-site stability)
+    del n_layers
+    kv = P(None, "data", None, "model", None)
+    return {"k": kv, "v": kv, "pos": P()}
 
 
 def lane_pspec() -> P:

@@ -162,7 +162,7 @@ def _reprime_cdf(cfg: LMConfig, params, kept_tokens, prob_bits: int):
     cache)."""
     b = kept_tokens.shape[0]
     cache = init_cache(cfg, b)
-    logits, cache = forward(cfg, params, kept_tokens, cache)
+    logits, cache = forward(cfg, params, kept_tokens, cache, prefill=True)
     freq = quantize_logits(logits[:, -1, :], prob_bits)
     return cdf_from_freq(freq), cache
 

@@ -39,7 +39,7 @@ def lm_loss(cfg: LMConfig, params, tokens):
     # row spans the cache width, so an oversized cache multiplies attention
     # HBM traffic (and at B>=128 wedges the remote compile)
     cache = init_cache(cfg, tokens.shape[0], window=inp.shape[1])
-    logits, _ = forward(cfg, params, inp, cache)
+    logits, _ = forward(cfg, params, inp, cache, prefill=True)
     logp = jax.nn.log_softmax(logits.astype(f32), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
@@ -239,4 +239,11 @@ def load_checkpoint(path: str):
             return {k: listify(v) for k, v in node.items()}
         return node
 
-    return cfg, listify(tree)
+    params = listify(tree)
+    if isinstance(params.get("layers"), list):
+        # pre-scan checkpoint format (per-layer "layers/<i>/..." entries):
+        # stack into the [n_layers, ...] layout forward consumes
+        from .models.transformer import stack_layers
+
+        params["layers"] = stack_layers(params["layers"])
+    return cfg, params
