@@ -26,12 +26,21 @@ Layers (bottom-up):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Backend override: LAC_PLATFORM=cpu forces the CPU backend (some device
+# plugins ignore the standard JAX_PLATFORMS env var; this applies the config
+# knob before first backend use). Useful when the accelerator is held by
+# another process (e.g. a training run) or for CI.
+if _os.environ.get("LAC_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["LAC_PLATFORM"])
+
 # Persistent XLA compilation cache: LM-scale encode/decode scans take minutes
 # to compile on the TPU backend (remote-compiled through the axon tunnel);
 # caching makes every shape a one-time cost across processes/sessions.
 # Opt out (or redirect) with the standard JAX_COMPILATION_CACHE_DIR env var.
-import os as _os
-
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     import jax as _jax
 

@@ -10,28 +10,44 @@ import sys
 import time
 
 
+def _make_mesh_arg(args):
+    """--mesh-model/--mesh-data -> Mesh | None (the config layer's
+    MeshConfig is the source of truth for geometry resolution)."""
+    if getattr(args, "mesh_model", 1) == 1 and getattr(args, "mesh_data", 0) == 0:
+        return None
+    from .config import MeshConfig
+
+    data = args.mesh_data if args.mesh_data else -1
+    return MeshConfig(data=data, model=args.mesh_model).make()
+
+
 def _cmd_compress(args) -> int:
     data = open(args.file, "rb").read()
     t0 = time.perf_counter()
     if args.model == "lm":
+        from .config import LMCodingConfig
         from .runtime.lm_api import lm_compress_bytes
 
-        out = lm_compress_bytes(
-            data,
+        cfg = LMCodingConfig(
             model_ref=args.model_ref,
             block_tokens=args.block_tokens,
             lanes=args.lanes,
             prob_bits=args.prob_bits,
+            window=args.window,
+            overlap=args.overlap,
         )
+        out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
     else:
+        from .config import ByteCodingConfig
         from .runtime.engine import compress_bytes
 
-        out = compress_bytes(
-            data,
+        cfg = ByteCodingConfig(
             model_id=args.model,
             block_size=args.block_size,
             prob_bits=args.prob_bits,
+            rate=args.rate,
         )
+        out = compress_bytes(data, **cfg.engine_kwargs())
     dt = time.perf_counter() - t0
     dst = args.output or args.file + ".lac"
     with open(dst, "wb") as f:
@@ -167,10 +183,20 @@ def main(argv=None) -> int:
                    help="model id: order0n (fast) / order1n (ratio) / order0c (turbo), order0/markov1[cd] (XLA), lm")
     c.add_argument("--block-size", type=int, default=1 << 12)
     c.add_argument("--prob-bits", type=int, default=16)
+    c.add_argument("--rate", type=int, default=4,
+                   help="adaptation rate base (turbo byte models)")
     c.add_argument("--model-ref", default="prng:byte-12l:0",
-                   help="LM predictor ref (prng:<preset>:<seed> or hf:<path>)")
+                   help="LM predictor ref (prng:<preset>:<seed>, hf:<path> or file:<path>)")
     c.add_argument("--block-tokens", type=int, default=512)
     c.add_argument("--lanes", type=int, default=64)
+    c.add_argument("--window", type=int, default=None,
+                   help="LM context window cap in tokens (default: model context)")
+    c.add_argument("--overlap", type=int, default=2,
+                   help="window re-prime keep fraction denominator (reference semantics)")
+    c.add_argument("--mesh-data", type=int, default=0,
+                   help="device mesh data-parallel span (0 = no mesh / all remaining)")
+    c.add_argument("--mesh-model", type=int, default=1,
+                   help="device mesh tensor-parallel span (lm only)")
     c.set_defaults(fn=_cmd_compress)
 
     d = sub.add_parser("decompress", help="decompress a .lac container")

@@ -36,19 +36,24 @@ class ByteCodingConfig:
 class LMCodingConfig:
     """LM-predictor coding (transformer forward pass feeds the coder)."""
 
-    model_ref: str = "prng:byte-12l:0"  # prng:<preset>:<seed> | hf:<path>
+    model_ref: str = "prng:byte-12l:0"  # prng:<preset>:<seed> | hf:<path> | file:<path>
     block_tokens: int = 512             # tokens per independent block
     lanes: int = 64                     # batched streams per wave
     prob_bits: int = 16
-    window: int | None = None           # sliding context window (None = block)
+    window: int | None = None           # sliding context window cap in tokens
     overlap: int = 2                    # window keep fraction denominator
 
     def engine_kwargs(self) -> dict:
+        """Keyword mapping for runtime.lm_api.lm_compress_bytes. ``window``
+        caps the model context (max_seq): blocks longer than it re-prime on
+        the reference's sliding-window schedule (llama_compress.py:31-39)."""
         return {
             "model_ref": self.model_ref,
             "block_tokens": self.block_tokens,
             "lanes": self.lanes,
             "prob_bits": self.prob_bits,
+            "overlap": self.overlap,
+            "max_seq": self.window,
         }
 
 

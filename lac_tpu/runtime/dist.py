@@ -26,13 +26,19 @@ from ..ops.pallas_rans import (
 from ..parallel.distributed import allgather_blocks, my_block_span
 from ..stream.container import (
     CODEC_RANS32,
+    CODEC_RANS64,
     BlockEntry,
     ContainerHeader,
     read_container,
     write_container,
 )
 
-__all__ = ["compress_distributed", "decompress_distributed"]
+__all__ = [
+    "compress_distributed",
+    "decompress_distributed",
+    "lm_compress_distributed",
+    "lm_decompress_distributed",
+]
 
 _PB = 16
 _RETRIES = 2
@@ -133,6 +139,115 @@ def compress_distributed(
         original_len=len(data),
     )
     return write_container(header, blocks)
+
+
+def lm_compress_distributed(
+    data: bytes,
+    model_ref: str = "prng:tiny:0",
+    block_tokens: int = 512,
+    lanes: int = 64,
+    prob_bits: int = 16,
+    overlap: int = 2,
+    max_seq: int | None = None,
+    model=None,
+    mesh=None,
+) -> bytes:
+    """Multi-process LM compression (BASELINE configs #4/#5): every process
+    codes its contiguous span of blocks with its local devices (optionally a
+    local (data, model) mesh — weights replicated or TP-sharded), payloads
+    are allgathered in block order, and the container is identical on every
+    process AND identical to the single-process container: a block's
+    bitstream depends on (weights, schedule, wave shape), not on which
+    process coded it (see lm_api.encode_lm_span)."""
+    from ..models.lm_registry import resolve_lm
+    from .lm_api import (
+        _mesh_geometry,
+        _prepare_mesh,
+        auto_prob_bits,
+        encode_lm_span,
+    )
+    from .lm_engine import lm_fingerprint
+
+    cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
+    if cfg.vocab < 256:
+        raise ValueError("byte-level coding needs vocab >= 256")
+    prob_bits = auto_prob_bits(cfg, prob_bits)
+    params, place = _prepare_mesh(mesh, cfg, params, lanes)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits)
+    n = len(data)
+    nblocks = max(1, -(-n // block_tokens))
+    start, end = my_block_span(nblocks)
+    mine = _with_retry(
+        lambda: encode_lm_span(
+            cfg, params, place, data, start, end, block_tokens, lanes,
+            prob_bits, overlap,
+        ),
+        f"lm encode span [{start},{end})",
+    )
+    packed = [
+        raw_len.to_bytes(4, "little") + tc.to_bytes(4, "little") + pl
+        for raw_len, tc, pl in mine
+    ]
+    gathered = allgather_blocks(packed, nblocks)
+    blocks = []
+    for buf in gathered:
+        raw_len = int.from_bytes(buf[:4], "little")
+        tc = int.from_bytes(buf[4:8], "little")
+        blocks.append(BlockEntry(raw_len, tc, buf[8:]))
+    header = ContainerHeader(
+        codec=CODEC_RANS64,
+        prob_bits=prob_bits,
+        model_id="lm",
+        config={
+            "model_ref": model_ref,
+            "max_seq": cfg.max_seq,
+            "block_tokens": block_tokens,
+            "lanes": lanes,
+            "overlap": overlap,
+            "fingerprint": fingerprint,
+            "mesh": _mesh_geometry(mesh),
+        },
+        original_len=n,
+    )
+    return write_container(header, blocks)
+
+
+def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
+    """Each process decodes its block span with the LM engine; output bytes
+    are allgathered in order (identical result on every process). The
+    container's recorded encode-mesh geometry is reconstructed per process
+    exactly as in lm_api.lm_decompress_bytes."""
+    from ..models.lm_registry import resolve_lm
+    from .lm_api import _prepare_mesh, _reconstruct_mesh, decode_lm_span
+    from .lm_engine import lm_fingerprint
+
+    header, blocks = read_container(container)
+    if header.model_id != "lm" or header.codec != CODEC_RANS64:
+        raise ValueError("not an LM container")
+    c = header.config
+    cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
+    mesh = _reconstruct_mesh(c.get("mesh"), mesh)
+    params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
+    fp = lm_fingerprint(cfg, params, header.prob_bits)
+    if fp != c["fingerprint"]:
+        raise ValueError(
+            "model fingerprint mismatch: decoder weights/stack differ from the "
+            f"encoder's (got {fp}, container has {c['fingerprint']})"
+        )
+    nblocks = len(blocks)
+    start, end = my_block_span(nblocks)
+    outs = _with_retry(
+        lambda: decode_lm_span(
+            cfg, params, place, blocks, start, end, c["block_tokens"],
+            c["lanes"], header.prob_bits, c["overlap"],
+        ),
+        f"lm decode span [{start},{end})",
+    )
+    gathered = allgather_blocks(outs, nblocks)
+    out = b"".join(gathered)
+    if len(out) != header.original_len:
+        raise ValueError("decoded length mismatch")
+    return out
 
 
 def decompress_distributed(container: bytes) -> bytes:

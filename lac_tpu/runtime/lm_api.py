@@ -8,7 +8,14 @@ part of the determinism contract and travels in the container), with
 sliding-window re-priming when blocks exceed the model context.
 
 Container config schema (codec 1 / model_id "lm"):
-    model_ref, max_seq, block_tokens, lanes, overlap, fingerprint
+    model_ref, max_seq, block_tokens, lanes, overlap, fingerprint, mesh
+
+Determinism and meshes (SURVEY.md §2.5): the byte path is pure-integer and
+topology-invariant, but LM CDFs come from float32 logits, whose values can
+depend on the device mesh (TP changes reduction layouts). The container
+therefore records the encode mesh geometry; decode reconstructs that mesh
+from local devices (failing early with a clear message if it cannot), and
+the fingerprint still gates any residual stack mismatch loudly.
 """
 
 from __future__ import annotations
@@ -26,7 +33,71 @@ from ..stream.container import (
 )
 from .lm_engine import lm_decode_windowed, lm_encode_windowed, lm_fingerprint
 
-__all__ = ["lm_compress_bytes", "lm_decompress_bytes"]
+__all__ = [
+    "lm_compress_bytes",
+    "lm_decompress_bytes",
+    "encode_lm_span",
+    "decode_lm_span",
+    "auto_prob_bits",
+]
+
+
+def _mesh_geometry(mesh) -> dict | None:
+    if mesh is None:
+        return None
+    return {"data": mesh.shape["data"], "model": mesh.shape["model"]}
+
+
+def _prepare_mesh(mesh, cfg, params, lanes: int):
+    """Shard params over the mesh and return a lane-placement function."""
+    if mesh is None:
+        return params, lambda toks, lens: (toks, lens)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.shard import shard_params
+
+    data = mesh.shape["data"]
+    if lanes % data:
+        raise ValueError(f"lanes ({lanes}) must divide by mesh data axis ({data})")
+    params = shard_params(mesh, params)
+    lane2 = NamedSharding(mesh, P("data", None))
+    lane1 = NamedSharding(mesh, P("data"))
+
+    def place(toks, lens):
+        return jax.device_put(toks, lane2), jax.device_put(lens, lane1)
+
+    return params, place
+
+
+def _reconstruct_mesh(geom: dict | None, mesh=None):
+    """Build (or validate) the decode mesh against the container's recorded
+    encode geometry."""
+    if geom is None:
+        if mesh is not None:
+            raise ValueError(
+                "container was encoded without a mesh; decoding on a mesh is "
+                "not bit-compatible (LM CDFs are mesh-dependent)"
+            )
+        return None
+    if mesh is not None:
+        have = _mesh_geometry(mesh)
+        if have != geom:
+            raise ValueError(f"decode mesh {have} != encode mesh {geom}")
+        return mesh
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    need = geom["data"] * geom["model"]
+    if len(jax.devices()) < need:
+        raise ValueError(
+            f"container was encoded on a {geom['data']}x{geom['model']} mesh; "
+            f"only {len(jax.devices())} local devices available — decode on a "
+            "host with at least that many devices (LM CDFs are mesh-dependent)"
+        )
+    return make_mesh(data=geom["data"], model=geom["model"],
+                     devices=jax.devices()[:need])
 
 
 def lm_compress_bytes(
@@ -38,50 +109,29 @@ def lm_compress_bytes(
     overlap: int = 2,
     max_seq: int | None = None,
     model=None,
+    mesh=None,
 ) -> bytes:
-    """model: optional pre-resolved (cfg, params) to skip re-resolution."""
+    """model: optional pre-resolved (cfg, params) to skip re-resolution.
+    mesh: optional jax.sharding.Mesh (axes ``data``, ``model``) — lanes
+    shard over ``data``, weights TP-shard over ``model``; the geometry is
+    recorded in the container and required again at decode."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
-    # quantization needs 2**pb >= 2*vocab (every symbol >=1 count with half
-    # the budget left for the distribution); auto-raise for large vocabs
-    # (e.g. GPT-2's 50257 -> 17). Travels in the header, so decode follows.
-    while (1 << prob_bits) < 2 * cfg.vocab:
-        prob_bits += 1
-    arr = np.frombuffer(data, dtype=np.uint8)
-    n = len(arr)
+    prob_bits = auto_prob_bits(cfg, prob_bits)
+    params, place = _prepare_mesh(mesh, cfg, params, lanes)
+    n = len(data)
     nblocks = max(1, -(-n // block_tokens))
+    # fingerprint computed with the coding placements so mesh-dependent
+    # numerics are part of what it certifies
     fingerprint = lm_fingerprint(cfg, params, prob_bits)
-    blocks: list[BlockEntry] = []
-
-    def finish(w0: int, nb: int, words_d, nwords_d) -> None:
-        words, nwords = np.asarray(words_d), np.asarray(nwords_d)
-        for j in range(nb):
-            start = (w0 + j) * block_tokens
-            length = min(block_tokens, n - start)
-            payload = words[j, : nwords[j]].astype(">u4").tobytes()
-            if len(payload) >= length and length > 0:
-                blocks.append(BlockEntry(length, 0, data[start : start + length]))
-            else:
-                blocks.append(BlockEntry(length, length, payload))
-
-    pending = None  # one-wave pipeline: fetch wave i while i+1 computes
-    for w0 in range(0, nblocks, lanes):
-        nb = min(lanes, nblocks - w0)
-        tokens = np.zeros((lanes, block_tokens), dtype=np.int32)
-        lengths = np.zeros((lanes,), dtype=np.int32)
-        for j in range(nb):
-            chunk = arr[(w0 + j) * block_tokens : (w0 + j + 1) * block_tokens]
-            tokens[j, : len(chunk)] = chunk
-            lengths[j] = len(chunk)
-        words_d, nwords_d = lm_encode_windowed(
-            cfg, params, tokens, lengths, prob_bits, overlap
+    blocks = [
+        BlockEntry(*t)
+        for t in encode_lm_span(
+            cfg, params, place, data, 0, nblocks, block_tokens, lanes,
+            prob_bits, overlap,
         )
-        if pending is not None:
-            finish(*pending)
-        pending = (w0, nb, words_d, nwords_d)
-    if pending is not None:
-        finish(*pending)
+    ]
     header = ContainerHeader(
         codec=CODEC_RANS64,
         prob_bits=prob_bits,
@@ -93,41 +143,113 @@ def lm_compress_bytes(
             "lanes": lanes,
             "overlap": overlap,
             "fingerprint": fingerprint,
+            "mesh": _mesh_geometry(mesh),
         },
         original_len=n,
     )
     return write_container(header, blocks)
 
 
-def lm_decompress_bytes(container: bytes, model=None) -> bytes:
+def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
     header, blocks = read_container(container)
     if header.model_id != "lm" or header.codec != CODEC_RANS64:
         raise ValueError("not an LM container")
     c = header.config
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
+    mesh = _reconstruct_mesh(c.get("mesh"), mesh)
+    params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
     fp = lm_fingerprint(cfg, params, header.prob_bits)
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "
             f"encoder's (got {fp}, container has {c['fingerprint']})"
         )
-    block_tokens, lanes, overlap = c["block_tokens"], c["lanes"], c["overlap"]
+    parts = decode_lm_span(
+        cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
+        c["lanes"], header.prob_bits, c["overlap"],
+    )
+    out = bytearray()
+    for p in parts:
+        out += p
+    if len(out) != header.original_len:
+        raise ValueError("decoded length mismatch")
+    return bytes(out)
+
+
+def auto_prob_bits(cfg, prob_bits: int) -> int:
+    """Quantization needs 2**pb >= 2*vocab (every symbol >=1 count with half
+    the budget left for the distribution); auto-raise for large vocabs
+    (e.g. GPT-2's 50257 -> 17). Travels in the header, so decode follows."""
+    while (1 << prob_bits) < 2 * cfg.vocab:
+        prob_bits += 1
+    return prob_bits
+
+
+def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
+                   block_tokens: int, lanes: int, prob_bits: int, overlap: int):
+    """Encode blocks [start, end) of ``data`` in fixed-shape waves of
+    ``lanes``; returns ``[(raw_len, token_count, payload)]`` triplets in
+    block order (token_count 0 marks the raw fallback). One-wave pipeline:
+    wave i's results are fetched while wave i+1 computes.
+
+    A block's payload depends only on (weights, schedule, wave shape,
+    block bytes) — not on which lanes its wave-mates occupy — so span
+    partitioning (the multi-process driver) cannot change the bitstream."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    out: list[tuple[int, int, bytes]] = []
+
+    def finish(w0: int, nb: int, words_d, nwords_d) -> None:
+        words, nwords = np.asarray(words_d), np.asarray(nwords_d)
+        for j in range(nb):
+            s0 = (w0 + j) * block_tokens
+            length = min(block_tokens, n - s0)
+            payload = words[j, : nwords[j]].astype(">u4").tobytes()
+            if len(payload) >= length and length > 0:
+                out.append((length, 0, data[s0 : s0 + length]))
+            else:
+                out.append((length, length, payload))
+
+    pending = None
+    for w0 in range(start, end, lanes):
+        nb = min(lanes, end - w0)
+        tokens = np.zeros((lanes, block_tokens), dtype=np.int32)
+        lengths = np.zeros((lanes,), dtype=np.int32)
+        for j in range(nb):
+            chunk = arr[(w0 + j) * block_tokens : (w0 + j + 1) * block_tokens]
+            tokens[j, : len(chunk)] = chunk
+            lengths[j] = len(chunk)
+        tokens_d, lengths_d = place(tokens, lengths)
+        words_d, nwords_d = lm_encode_windowed(
+            cfg, params, tokens_d, lengths_d, prob_bits, overlap
+        )
+        if pending is not None:
+            finish(*pending)
+        pending = (w0, nb, words_d, nwords_d)
+    if pending is not None:
+        finish(*pending)
+    return out
+
+
+def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
+                   block_tokens: int, lanes: int, prob_bits: int, overlap: int):
+    """Decode container blocks [start, end); returns their byte payloads in
+    block order (same wave pipeline as the encoder)."""
     cap = encode_capacity(block_tokens)
-    nblocks = len(blocks)
-    parts: list[bytes] = [b""] * nblocks
+    parts: list[bytes] = [b""] * (end - start)
 
     def finish(w0: int, nb: int, syms_d) -> None:
         syms = None if syms_d is None else np.asarray(syms_d)
         for j in range(nb):
             blk = blocks[w0 + j]
             if blk.token_count == 0 and blk.raw_len > 0:
-                parts[w0 + j] = blk.payload
+                parts[w0 + j - start] = blk.payload
             else:
-                parts[w0 + j] = syms[j, : blk.token_count].astype(np.uint8).tobytes()
+                parts[w0 + j - start] = syms[j, : blk.token_count].astype(np.uint8).tobytes()
 
     pending = None
-    for w0 in range(0, nblocks, lanes):
-        nb = min(lanes, nblocks - w0)
+    for w0 in range(start, end, lanes):
+        nb = min(lanes, end - w0)
         words = np.zeros((lanes, cap), dtype=np.uint32)
         lengths = np.zeros((lanes,), dtype=np.int32)
         any_coded = False
@@ -141,17 +263,13 @@ def lm_decompress_bytes(container: bytes, model=None) -> bytes:
             any_coded = True
         syms_d = None
         if any_coded:
+            words_d, lengths_d = place(words, lengths)
             syms_d = lm_decode_windowed(
-                cfg, params, words, lengths, header.prob_bits, block_tokens, overlap
+                cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap
             )
         if pending is not None:
             finish(*pending)
         pending = (w0, nb, syms_d)
     if pending is not None:
         finish(*pending)
-    out = bytearray()
-    for p in parts:
-        out += p
-    if len(out) != header.original_len:
-        raise ValueError("decoded length mismatch")
-    return bytes(out)
+    return parts

@@ -89,6 +89,54 @@ def _free_port() -> int:
     return port
 
 
+LM_WORKER = textwrap.dedent(
+    """
+    import sys, os
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address="localhost:" + port, num_processes=2, process_id=pid
+    )
+    from lac_tpu.runtime.dist import lm_compress_distributed, lm_decompress_distributed
+    data = (b"the quick brown fox jumps over the lazy dog. " * 40)[:1500]
+    c = lm_compress_distributed(data, model_ref="prng:tiny:0",
+                                block_tokens=256, lanes=4)
+    assert lm_decompress_distributed(c) == data, "distributed LM round-trip failed"
+    if pid == 0:
+        open(out, "wb").write(c)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_lm_container_identical(tmp_path):
+    """The LM container must be host-count-invariant: 2-process span-coded
+    output byte-identical to the single-process one (VERDICT round-1 item 3;
+    SURVEY.md §7 hard part #6 extended to the LM codec)."""
+    port = _free_port()
+    script = tmp_path / "lm_worker.py"
+    script.write_text(LM_WORKER.format(repo="/root/repo"))
+    out = tmp_path / "lm_container.bin"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port), str(out)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    from lac_tpu.runtime.dist import lm_compress_distributed
+
+    data = (b"the quick brown fox jumps over the lazy dog. " * 40)[:1500]
+    single = lm_compress_distributed(data, model_ref="prng:tiny:0",
+                                     block_tokens=256, lanes=4)
+    assert out.read_bytes() == single
+
+
 def test_distributed_model_roundtrip_order1n():
     """Every turbo model must round-trip through the distributed driver
     (guards the encode/decode model dispatch staying in sync with the

@@ -46,6 +46,42 @@ def test_lm_roundtrip_on_mesh(model_par):
     assert (decoded == tokens).all()
 
 
+def test_container_mesh_metadata_roundtrip():
+    """The container records the encode mesh; decode reconstructs it from
+    local devices without the caller passing one (VERDICT round-1 item 4)."""
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+
+    data = (b"mesh metadata determinism " * 60)[:1200]
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    c = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256,
+                          lanes=4, mesh=mesh)
+    # auto-reconstruct from container metadata
+    assert lm_decompress_bytes(c) == data
+    # an explicitly wrong mesh fails early with a geometry error, not garbage
+    wrong = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="encode mesh"):
+        lm_decompress_bytes(c, mesh=wrong)
+    # meshless containers refuse a meshed decode (CDFs are mesh-dependent)
+    c2 = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256, lanes=4)
+    with pytest.raises(ValueError, match="without a mesh"):
+        lm_decompress_bytes(c2, mesh=mesh)
+
+
+def test_lm_distributed_driver_with_mesh():
+    """Single-process span driver with a local TP mesh: container carries
+    the mesh geometry and round-trips through the distributed decode path."""
+    from lac_tpu.runtime.dist import lm_compress_distributed, lm_decompress_distributed
+    from lac_tpu.stream.container import read_container
+
+    data = (b"span driver over a mesh " * 80)[:1600]
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    c = lm_compress_distributed(data, model_ref="prng:tiny:0", block_tokens=256,
+                                lanes=4, mesh=mesh)
+    header, _ = read_container(c)
+    assert header.config["mesh"] == {"data": 2, "model": 2}
+    assert lm_decompress_distributed(c, mesh=mesh) == data
+
+
 def test_tp_logits_close_to_unsharded():
     mesh, cfg, params = _setup(2)
     sharded = shard_params(mesh, params)
