@@ -81,21 +81,19 @@ def main() -> int:
     te = med(lambda: encode(syms_d)[1])
     td = med(lambda: o0n_rans32_decode(words, lengths, T, RATE))
 
-    # ratio codec (order1n): measured on a single 2048-lane chunk
+    # ratio codec (order1n): same sustained full-wave protocol as order0n
+    # (same lanes, same cap bucketing, same reps-per-sync) so the two rows
+    # in BASELINE.md are directly comparable
     from lac_tpu.ops.pallas_rans import o1n_encode_fused, o1n_rans32_decode
 
-    s1 = syms_d[:, :2048]
-    l1 = lengths[:2048]
-    w1, nw1 = o1n_encode_fused(s1, l1[None, :], RATE, T // 2 + 3)
+    w1, nw1 = o1n_encode_fused(syms_d, lengths[None, :], RATE, T // 2 + 3)
     o1n_bpb = 16 * float(jnp.mean(nw1)) / T
     maxw1 = int(jnp.max(nw1))
     cap1 = next(c for c in (64, 128, 192, 256, 384, 512, T // 2 + 3) if c >= maxw1)
     words1 = jnp.asarray(jnp.asarray(w1)[:, :cap1])
-    mb1 = 2048 * T / 1e6
-    # single-chunk measurements need more reps per sync to amortize the
-    # tunnel round-trip the way the full-wave numbers do
-    t1e = med(lambda: o1n_encode_fused(s1, l1[None, :], RATE, T // 2 + 3)[1], reps=40)
-    t1d = med(lambda: o1n_rans32_decode(words1, l1, T, RATE), reps=40)
+    mb1 = B * T / 1e6
+    t1e = med(lambda: o1n_encode_fused(syms_d, lengths[None, :], RATE, T // 2 + 3)[1])
+    t1d = med(lambda: o1n_rans32_decode(words1, lengths, T, RATE))
 
     # LM-path throughput (flagship capability): lock-step coding with the
     # ~20M-param byte LM preset, B lanes in one jitted scan
@@ -134,6 +132,7 @@ def main() -> int:
             "encode_MBps": round(enc_mbs, 3),
             "decode_MBps": round(dec_mbs, 3),
             "bits_per_byte": round(bpb, 4),
+            "corpus": "python-source (stdlib .py files; no enwik8 in this image)",
             "corpus_MiB": round(len(data) / (1 << 20), 2),
             "lanes": B,
             "block": T,

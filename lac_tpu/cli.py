@@ -180,7 +180,7 @@ def main(argv=None) -> int:
     c.add_argument("file")
     c.add_argument("-o", "--output")
     c.add_argument("--model", default="order0n",
-                   help="model id: order0n (fast) / order1n (ratio) / order0c (turbo), order0/markov1[cd] (XLA), lm")
+                   help="model id: order0n (fast) / order1n / order2n (ratio; block>=4096) / order0c (turbo), order0/markov1[cd] (XLA), lm")
     c.add_argument("--block-size", type=int, default=1 << 12)
     c.add_argument("--prob-bits", type=int, default=16)
     c.add_argument("--rate", type=int, default=4,

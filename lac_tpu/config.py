@@ -27,7 +27,7 @@ class ByteCodingConfig:
     def engine_kwargs(self) -> dict:
         kw = {"model_id": self.model_id, "block_size": self.block_size,
               "prob_bits": self.prob_bits}
-        if self.model_id in ("order0c", "order0n", "order1n"):
+        if self.model_id in ("order0c", "order0n", "order1n", "order2n"):
             kw["rate"] = self.rate
         return kw
 

@@ -15,6 +15,7 @@ from .functional import (
     Order0NibCDF,
     Order0Scan,
     Order1NibCDF,
+    Order2NibCDF,
     ScanModel,
 )
 
@@ -27,6 +28,7 @@ _SCAN_MODELS = {
     "markov1c": MarkovCDF,
     "order0n": Order0NibCDF,
     "order1n": Order1NibCDF,
+    "order2n": Order2NibCDF,
 }
 
 

@@ -67,6 +67,8 @@ def _load():
             ]
             lib.o1n_encode_blocks.argtypes = lib.o0n_encode_blocks.argtypes
             lib.o1n_decode_blocks.argtypes = lib.o0n_decode_blocks.argtypes
+            lib.o2n_encode_blocks.argtypes = lib.o0n_encode_blocks.argtypes
+            lib.o2n_decode_blocks.argtypes = lib.o0n_decode_blocks.argtypes
             _lib = lib
         except Exception:
             _lib = None
@@ -82,14 +84,17 @@ def native_compress(
 ) -> bytes:
     """Same container format (and bit-identical payloads) as
     runtime.turbo.turbo_compress for the same (model, block_size, rate)."""
-    if model not in ("order0c", "order0n", "order1n"):
-        raise ValueError("native model must be order0c, order0n, or order1n")
+    if model not in ("order0c", "order0n", "order1n", "order2n"):
+        raise ValueError(
+            "native model must be order0c, order0n, order1n, or order2n"
+        )
     # identical geometry fallback to turbo_compress: containers must stay
     # byte-identical across the two producers AND decodable by the TPU path
-    from ..ops.pallas_rans import o0n_decode_fits, o1n_decode_fits
+    from ..ops.pallas_rans import o0n_decode_fits, o1n_decode_fits, o2n_decode_fits
     from ..runtime.turbo import MAX_WAVE, _decode_cap_bucket
 
-    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
+    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits,
+             "order2n": o2n_decode_fits}
     if model in _fits and not _fits[model](
         _decode_cap_bucket(block_size // 2 + 3, block_size), MAX_WAVE
     ):
@@ -107,8 +112,10 @@ def native_compress(
     words = np.zeros((nblocks, cap), dtype=np.uint16)
     nwords = np.zeros((nblocks,), dtype=np.int32)
     if n:
-        if model in ("order0n", "order1n"):
-            enc = lib.o0n_encode_blocks if model == "order0n" else lib.o1n_encode_blocks
+        if model in ("order0n", "order1n", "order2n"):
+            enc = {"order0n": lib.o0n_encode_blocks,
+                   "order1n": lib.o1n_encode_blocks,
+                   "order2n": lib.o2n_encode_blocks}[model]
             enc(
                 arr.ctypes.data, offsets.ctypes.data, lengths.ctypes.data,
                 nblocks, cap, rate, words.ctypes.data, nwords.ctypes.data,
@@ -142,9 +149,9 @@ def native_decompress(container: bytes) -> bytes:
         raise RuntimeError("native coder unavailable (g++ build failed)")
     header, blocks = read_container(container)
     if header.codec != CODEC_RANS32 or header.model_id not in (
-        "order0c", "order0n", "order1n"
+        "order0c", "order0n", "order1n", "order2n"
     ):
-        raise ValueError("not a turbo (order0c/order0n/order1n) container")
+        raise ValueError("not a turbo (order0c/order0n/order1n/order2n) container")
     block_size, rate = header.config["block_size"], header.config["rate"]
     cap = block_size + 2
     coded = [(i, b) for i, b in enumerate(blocks)
@@ -166,9 +173,10 @@ def native_decompress(container: bytes) -> bytes:
             out_offsets[j] = total
             total += b.token_count
         out = np.zeros((total,), dtype=np.uint8)
-        if header.model_id in ("order0n", "order1n"):
-            dec = (lib.o0n_decode_blocks if header.model_id == "order0n"
-                   else lib.o1n_decode_blocks)
+        if header.model_id in ("order0n", "order1n", "order2n"):
+            dec = {"order0n": lib.o0n_decode_blocks,
+                   "order1n": lib.o1n_decode_blocks,
+                   "order2n": lib.o2n_decode_blocks}[header.model_id]
             dec(
                 words.ctypes.data, lengths.ctypes.data, nc, cap, rate,
                 out_offsets.ctypes.data, out.ctypes.data,

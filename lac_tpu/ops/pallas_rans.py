@@ -50,6 +50,10 @@ __all__ = [
     "o1n_encode_fused",
     "o1n_rans32_decode",
     "o1n_decode_fits",
+    "o2n_encode_intervals",
+    "o2n_encode_fused",
+    "o2n_rans32_decode",
+    "o2n_decode_fits",
     "SENTINEL",
 ]
 
@@ -956,24 +960,37 @@ def _nib_decode_call(kernel, extra_scratch, words, lengths, t_len, rate):
     return syms[:t_len].astype(jnp.uint8)
 
 
+def _nib_sub_lanes(fits_one, cap: int, floor: int = 256) -> int:
+    """Largest pow2 sub-kernel lane count (<= MAX_KERNEL_LANES) whose VMEM
+    budget fits this cap; 0 if even ``floor`` lanes do not fit."""
+    sub = _MAX_KERNEL_LANES
+    while sub >= floor and not fits_one(cap, sub):
+        sub //= 2
+    return sub if sub >= floor else 0
+
+
 def _nib_decode_split(decode_one, fits_one, words, lengths, t_len, rate, name):
-    """Shared VMEM gate + >MAX_KERNEL_LANES sub-kernel splitting."""
+    """Shared VMEM gate + sub-kernel lane splitting (lane width shrinks
+    below MAX_KERNEL_LANES when the codec's scratch budget demands it —
+    e.g. order2n's 64-row context table at block 4096 runs 1024-lane
+    sub-kernels)."""
     words = words.astype(jnp.uint32)
     b, cap = words.shape
-    if not fits_one(cap, min(b, _MAX_KERNEL_LANES)):
+    sub = _nib_sub_lanes(fits_one, cap)
+    if not sub:
         raise ValueError(
             f"{name} decode geometry (cap={cap}, B={b}) exceeds the fused-"
             "kernel VMEM budget; compress with a smaller block_size or codec "
             "order0c"
         )
-    if b > _MAX_KERNEL_LANES:
+    if b > sub:
         outs = [
             decode_one(
-                words[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
-                lengths[c0 : min(c0 + _MAX_KERNEL_LANES, b)],
+                words[c0 : min(c0 + sub, b)],
+                lengths[c0 : min(c0 + sub, b)],
                 t_len, rate,
             )
-            for c0 in range(0, b, _MAX_KERNEL_LANES)
+            for c0 in range(0, b, sub)
         ]
         return jnp.concatenate(outs, axis=1)
     return decode_one(words, lengths, t_len, rate)
@@ -1225,4 +1242,262 @@ def o1n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: in
     """Order-1 nibble fused decode (see o0n_rans32_decode for contracts)."""
     return _nib_decode_split(
         _o1n_decode_fused, _o1n_vmem_ok, words, lengths, t_len, rate, "o1n"
+    )
+
+
+# --------------------------------------------------------------------------
+# Codec "order2n": order-2-lite nibble factorization — hi | prev_h (16
+# contexts, as order1n) and lo | (h, prev_h >> 2) (64 contexts). Spec:
+# models.functional.Order2NibCDF (simulated 4.19 bpb at block 4096 on
+# python-source vs o1n's 4.26; the full 256-context (h, prev_h) table wins
+# only 0.03 more bpb for ~4x further tree/writeback traffic). Designed for
+# block_size >= 4096 — at 1024 the 64 contexts dilute below order1n.
+# --------------------------------------------------------------------------
+
+_NL2 = 64  # lo contexts: h * 4 + (prev_h >> 2)
+
+
+def _nibp_tree_sel(buf, c, nctx: int):
+    """Select packed rows [8c, 8c+8) of an [8*nctx, B] buffer per lane via
+    the bits of c [1, B] — log2(nctx) levels of static-slice selects."""
+    t = buf
+    rows = buf.shape[0]
+    bit = nctx >> 1
+    while bit:
+        rows //= 2
+        t = jnp.where((c & bit) != 0, t[rows : 2 * rows], t[:rows])
+        bit >>= 1
+    return t
+
+
+def _row_tree_sel(buf, c, nctx: int):
+    """Select row c of an [nctx, B] buffer per lane (one row out)."""
+    t = buf
+    rows = nctx
+    bit = nctx >> 1
+    while bit:
+        rows //= 2
+        t = jnp.where((c & bit) != 0, t[rows : 2 * rows], t[:rows])
+        bit >>= 1
+    return t
+
+
+def _o2n_intervals_kernel(
+    syms_ref, lo_ref, fr_ref, sh_scr, sl_scr, cnth_scr, cntl_scr, ph_scr,
+    *, rate, chunk,
+):
+    b = sl_scr.shape[1]
+    pid = pl.program_id(0)
+    k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+    k64 = lax.broadcasted_iota(jnp.int32, (_NL2, b), 0)
+    ke, ko = _nibp_iotas(b)
+    top = jnp.int32(256)
+
+    @pl.when(pid == 0)
+    def _():
+        sh_scr[:] = _nibp_table_init(b, _NV)
+        sl_scr[:] = _nibp_table_init(b, _NL2)
+        cnth_scr[:] = jnp.zeros_like(cnth_scr)
+        cntl_scr[:] = jnp.zeros_like(cntl_scr)
+        ph_scr[:] = jnp.zeros_like(ph_scr)
+
+    def body(i, carry):
+        cnth, cntl, ph = carry
+        s = syms_ref[pl.ds(i, 1), :]  # [1, B]
+        h = s >> 4
+        l = s & 15
+        she, sho = _nibp_unpack(_nibp_tree8(sh_scr[:], ph))  # ctx prev_h
+        effhe, effho = _nibp_eff(she, sho, ke, ko)
+        mhe = ke <= h
+        mho = ko <= h
+        loh, hih = _nibp_lohi(effhe, effho, mhe, mho, top)
+        hih = jnp.minimum(hih, top)
+        fh = hih - loh
+        lc = h * 4 + (ph >> 2)
+        sle, slo = _nibp_unpack(_nibp_tree_sel(sl_scr[:], lc, _NL2))
+        effle, efflo = _nibp_eff(sle, slo, ke, ko)
+        mle = ke <= l
+        mlo = ko <= l
+        lol, hil = _nibp_lohi(effle, efflo, mle, mlo, top)
+        hil = jnp.minimum(hil, top)
+        lo_ref[pl.ds(i, 1), :] = (loh << 8) + fh * lol
+        fr_ref[pl.ds(i, 1), :] = fh * (hil - lol)
+        rh = _rate_at(rate, _nib_tree1(cnth, ph))
+        shp = _nibp_pack(*_nibp_update_pair(she, sho, mhe, mho, rh))
+        for c in range(_NV):
+            pltpu.store(
+                sh_scr.at[pl.ds(8 * c, 8), :], shp,
+                mask=jnp.broadcast_to(ph == c, shp.shape),
+            )
+        cnth = cnth + (k16 == ph).astype(jnp.int32)
+        rl = _rate_at(rate, _row_tree_sel(cntl, lc, _NL2))
+        slp = _nibp_pack(*_nibp_update_pair(sle, slo, mle, mlo, rl))
+        for c in range(_NL2):
+            pltpu.store(
+                sl_scr.at[pl.ds(8 * c, 8), :], slp,
+                mask=jnp.broadcast_to(lc == c, slp.shape),
+            )
+        cntl = cntl + (k64 == lc).astype(jnp.int32)
+        return cnth, cntl, h
+
+    cnth, cntl, ph = lax.fori_loop(
+        0, chunk, body, (cnth_scr[:], cntl_scr[:], ph_scr[:])
+    )
+    cnth_scr[:] = cnth
+    cntl_scr[:] = cntl
+    ph_scr[:] = ph
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def o2n_encode_intervals(syms_tb: jax.Array, rate: int):
+    """Composed (lo12, f12) for the order-2-lite nibble model."""
+    t_len, b = syms_tb.shape
+    chunk = min(t_len, max(128, (256 * 1024) // b))
+    chunk = 1 << (chunk.bit_length() - 1)
+    while t_len % chunk:
+        chunk //= 2
+    grid = t_len // chunk
+    kern = functools.partial(_o2n_intervals_kernel, rate=rate, chunk=chunk)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+            jax.ShapeDtypeStruct((t_len, b), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8 * _NV, b), jnp.uint32),   # sh (packed)
+            pltpu.VMEM((8 * _NL2, b), jnp.uint32),  # sl (packed, 64 ctx)
+            pltpu.VMEM((_NV, b), jnp.int32),
+            pltpu.VMEM((_NL2, b), jnp.int32),
+            pltpu.VMEM((1, b), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=_interp(),
+    )(syms_tb)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o2n_encode_fused(syms_tb: jax.Array, lengths: jax.Array, rate: int, cap: int):
+    return _nib_encode_fused(o2n_encode_intervals, syms_tb, lengths, rate, cap)
+
+
+def _o2n_decode_fused_kernel(
+    words_ref, len_ref, syms_ref, wbuf, sl_scr, sh_scr, cnth_scr, cntl_scr,
+    ph_scr, x_scr, cur_scr, *, rate, cap2,
+):
+    b = sl_scr.shape[1]
+    pid = pl.program_id(0)
+    k16 = lax.broadcasted_iota(jnp.int32, (_NV, b), 0)
+    k64 = lax.broadcasted_iota(jnp.int32, (_NL2, b), 0)
+    ke, ko = _nibp_iotas(b)
+    top = jnp.int32(256)
+
+    @pl.when(pid == 0)
+    def _():
+        w = words_ref[:]
+        x_scr[:] = w[0:1, :]
+        wbuf[:] = pltpu.roll(w, cap2 - 1, axis=0)
+        cur_scr[:] = jnp.zeros_like(cur_scr)
+        sh_scr[:] = _nibp_table_init(b, _NV)
+        sl_scr[:] = _nibp_table_init(b, _NL2)
+        cnth_scr[:] = jnp.zeros_like(cnth_scr)
+        cntl_scr[:] = jnp.zeros_like(cntl_scr)
+        ph_scr[:] = jnp.zeros_like(ph_scr)
+
+    t0 = pid * _FIFO
+    lengths = len_ref[:]  # [1, B]
+    cnth, cntl, x, cur, ph = (
+        cnth_scr[:], cntl_scr[:], x_scr[:], cur_scr[:], ph_scr[:]
+    )
+
+    for wi in range(_FIFO // _WIN):
+
+        def body(j, carry, wi=wi):
+            cnth, cntl, x, cur, ph = carry
+            i = wi * _WIN + j
+            active = (t0 + i) < lengths
+            slot = (x & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            she, sho = _nibp_unpack(_nibp_tree8(sh_scr[:], ph))
+            effhe, effho = _nibp_eff(she, sho, ke, ko)
+            h, loh, hih, mhe, mho = _nibp_search(effhe, effho, slot >> 8, top)
+            hih = jnp.minimum(hih, top)
+            fh = hih - loh
+            lc = h * 4 + (ph >> 2)
+            sle, slo = _nibp_unpack(_nibp_tree_sel(sl_scr[:], lc, _NL2))
+            effle, efflo = _nibp_eff(sle, slo, ke, ko)
+            r = slot - (loh << 8)
+            l, lo_s, hi_s, mle, mlo = _nibp_search(fh * effle, fh * efflo, r, fh << 8)
+            hi_s = jnp.minimum(hi_s, fh << 8)
+            f12 = (hi_s - lo_s).astype(jnp.uint32)
+            x_new = f12 * (x >> _NPB) + (r - lo_s).astype(jnp.uint32)
+            refill = active & (x_new < jnp.uint32(1 << 16))
+            w = _fifo_word16(wbuf, cur)
+            x_new = jnp.where(refill, (x_new << 16) | w, x_new)
+            cur = cur + refill.astype(jnp.int32)
+            syms_ref[pl.ds(i, 1), :] = jnp.where(active, (h << 4) | l, 0)
+            rh = jnp.where(active, _rate_at(rate, _nib_tree1(cnth, ph)), jnp.int32(31))
+            shp = _nibp_pack(*_nibp_update_pair(she, sho, mhe, mho, rh))
+            for c in range(_NV):
+                blk = sh_scr[pl.ds(8 * c, 8), :]
+                sh_scr[pl.ds(8 * c, 8), :] = jnp.where(ph == c, shp, blk)
+            cnth = cnth + jnp.where(active, (k16 == ph).astype(jnp.int32), 0)
+            rl = jnp.where(active, _rate_at(rate, _row_tree_sel(cntl, lc, _NL2)),
+                           jnp.int32(31))
+            slp = _nibp_pack(*_nibp_update_pair(sle, slo, mle, mlo, rl))
+            for c in range(_NL2):
+                blk = sl_scr[pl.ds(8 * c, 8), :]
+                sl_scr[pl.ds(8 * c, 8), :] = jnp.where(lc == c, slp, blk)
+            cntl = cntl + jnp.where(active, (k64 == lc).astype(jnp.int32), 0)
+            ph = jnp.where(active, h, ph)
+            return cnth, cntl, jnp.where(active, x_new, x), cur, ph
+
+        cnth, cntl, x, cur, ph = lax.fori_loop(
+            0, _WIN, body, (cnth, cntl, x, cur, ph)
+        )
+        wbuf[:] = _adv_roll(wbuf[:], cur >> 1, cap2)
+        cur = cur & 1
+
+    cnth_scr[:] = cnth
+    cntl_scr[:] = cntl
+    x_scr[:] = x
+    cur_scr[:] = cur
+    ph_scr[:] = ph
+
+
+def _o2n_vmem_ok(cap: int, b: int) -> bool:
+    # o1n budget with the lo context table (and its RMW temps) at 64 rows
+    cap2 = (cap + 1) // 2
+    need = 4 * (5 * cap2 * b + 9 * 8 * (_NV + _NL2) * b + 2 * _FIFO * b + 24 * b)
+    return need <= _FUSED_VMEM_LIMIT - 4 * 1024 * 1024
+
+
+def o2n_decode_fits(cap: int, b: int) -> bool:
+    del b  # the splitter narrows lanes until the budget fits
+    return _nib_sub_lanes(_o2n_vmem_ok, cap) > 0
+
+
+def _o2n_decode_fused(words, lengths, t_len, rate):
+    scratches = lambda b: [
+        pltpu.VMEM((8 * _NL2, b), jnp.uint32),  # sl (packed, 64 ctx)
+        pltpu.VMEM((8 * _NV, b), jnp.uint32),   # sh (packed)
+        pltpu.VMEM((_NV, b), jnp.int32),        # cnth
+        pltpu.VMEM((_NL2, b), jnp.int32),       # cntl
+        pltpu.VMEM((1, b), jnp.int32),          # prev_h
+    ]
+    return _nib_decode_call(
+        _o2n_decode_fused_kernel, scratches, words, lengths, t_len, rate
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def o2n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: int):
+    """Order-2-lite nibble fused decode (see o0n_rans32_decode for contracts)."""
+    return _nib_decode_split(
+        _o2n_decode_fused, _o2n_vmem_ok, words, lengths, t_len, rate, "o2n"
     )

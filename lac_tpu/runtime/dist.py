@@ -22,6 +22,9 @@ from ..ops.pallas_rans import (
     o1n_decode_fits,
     o1n_encode_fused,
     o1n_rans32_decode,
+    o2n_decode_fits,
+    o2n_encode_fused,
+    o2n_rans32_decode,
 )
 from ..parallel.distributed import allgather_blocks, my_block_span
 from ..stream.container import (
@@ -82,6 +85,11 @@ def _encode_span(arr: np.ndarray, start: int, end: int, block_size: int, rate: i
             jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate,
             block_size // 2 + 3,
         )
+    elif model == "order2n":
+        words, nwords = o2n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], rate,
+            block_size // 2 + 3,
+        )
     else:
         words, nwords = o0c_encode_fused(
             jnp.asarray(syms), jnp.asarray(lengths)[None, :], 256, _PB, rate,
@@ -104,11 +112,14 @@ def compress_distributed(
 ) -> bytes:
     """All processes call this with the same data; returns the container
     (identical on every process)."""
-    if model not in ("order0c", "order0n", "order1n"):
-        raise ValueError("dist model must be order0c, order0n, or order1n")
+    if model not in ("order0c", "order0n", "order1n", "order2n"):
+        raise ValueError(
+            "dist model must be order0c, order0n, order1n, or order2n"
+        )
     from .turbo import _decode_cap_bucket
 
-    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
+    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits,
+             "order2n": o2n_decode_fits}
     if model in _fits and not _fits[model](
         _decode_cap_bucket(block_size // 2 + 3, block_size), 1 << 30
     ):
@@ -274,8 +285,9 @@ def decompress_distributed(container: bytes) -> bytes:
             w = np.frombuffer(blk.payload, dtype=">u2").astype(np.uint32)
             words[j, : len(w)] = w
             lengths[j] = blk.token_count
-        if header.model_id in ("order0n", "order1n"):
-            fn = o0n_rans32_decode if header.model_id == "order0n" else o1n_rans32_decode
+        if header.model_id in ("order0n", "order1n", "order2n"):
+            fn = {"order0n": o0n_rans32_decode, "order1n": o1n_rans32_decode,
+                  "order2n": o2n_rans32_decode}[header.model_id]
             dec = lambda: np.asarray(
                 fn(jnp.asarray(words), jnp.asarray(lengths), block_size, rate)
             )

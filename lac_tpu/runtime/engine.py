@@ -132,7 +132,7 @@ def compress_bytes(
     """Compress raw bytes into a .lac container (byte-alphabet models).
     model_ids "order0c"/"order0n" route to the fused-Pallas turbo path
     (codec 2; order0n is the nibble-factorized fast default)."""
-    if model_id in ("order0c", "order0n", "order1n"):
+    if model_id in ("order0c", "order0n", "order1n", "order2n"):
         from .turbo import turbo_compress
 
         return turbo_compress(

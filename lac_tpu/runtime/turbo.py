@@ -36,6 +36,9 @@ from ..ops.pallas_rans import (
     o1n_decode_fits,
     o1n_encode_fused,
     o1n_rans32_decode,
+    o2n_decode_fits,
+    o2n_encode_fused,
+    o2n_rans32_decode,
 )
 from ..stream.container import (
     CODEC_RANS32,
@@ -52,7 +55,7 @@ _DEFAULT_BLOCK = 1024
 _DEFAULT_RATE = 4  # base of the adaptive schedule (must match dist/bench)
 _DEFAULT_MODEL = "order0n"
 _PB = 16
-_TURBO_MODELS = ("order0c", "order0n", "order1n")
+_TURBO_MODELS = ("order0c", "order0n", "order1n", "order2n")
 
 _CAP_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 
@@ -72,6 +75,8 @@ def _encode_wave(model: str, syms, lengths, rate: int, cap: int):
         return o0n_encode_fused(syms, lengths, rate, cap)
     if model == "order1n":
         return o1n_encode_fused(syms, lengths, rate, cap)
+    if model == "order2n":
+        return o2n_encode_fused(syms, lengths, rate, cap)
     return o0c_encode_fused(syms, lengths, 256, _PB, rate, cap)
 
 
@@ -80,6 +85,8 @@ def _decode_wave(model: str, words, lengths, block_size: int, rate: int):
         return o0n_rans32_decode(words, lengths, block_size, rate)
     if model == "order1n":
         return o1n_rans32_decode(words, lengths, block_size, rate)
+    if model == "order2n":
+        return o2n_rans32_decode(words, lengths, block_size, rate)
     return o0c_rans32_decode(words, lengths, block_size, 256, _PB, rate)
 
 
@@ -108,7 +115,8 @@ def turbo_compress(
         raise ValueError("turbo block_size must be a multiple of 256")
     if model not in _TURBO_MODELS:
         raise ValueError(f"turbo model must be one of {_TURBO_MODELS}")
-    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits}
+    _fits = {"order0n": o0n_decode_fits, "order1n": o1n_decode_fits,
+             "order2n": o2n_decode_fits}
     if model in _fits and not _fits[model](
         _decode_cap_bucket(block_size // 2 + 3, block_size), MAX_WAVE
     ):

@@ -386,3 +386,131 @@ void o1n_decode_blocks(const uint16_t* words, const int32_t* lengths,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// order2n: order-2-lite nibble factorization (spec in models/functional.py
+// Order2NibCDF; kernels in ops/pallas_rans.py). Hi nibble conditioned on the
+// previous byte's hi nibble (as order1n); LO nibble on
+// (current hi, previous hi >> 2) — 64 contexts. Coder layer identical.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Nib2Model {
+  int32_t sh[NV][NV + 1];
+  int32_t sl[4 * NV][NV + 1];
+  int32_t cnth[NV];
+  int32_t cntl[4 * NV];
+  int prev_h;
+  void init() {
+    for (int c = 0; c < NV; c++)
+      for (int k = 0; k <= NV; k++) sh[c][k] = k * (NS / NV);
+    for (int c = 0; c < 4 * NV; c++)
+      for (int k = 0; k <= NV; k++) sl[c][k] = k * (NS / NV);
+    for (int c = 0; c < NV; c++) cnth[c] = 0;
+    for (int c = 0; c < 4 * NV; c++) cntl[c] = 0;
+    prev_h = 0;
+  }
+  inline int lctx(int h) const { return h * 4 + (prev_h >> 2); }
+  inline void interval_of(int s, int32_t* lo12, int32_t* f12) const {
+    const int h = s >> 4, l = s & 15;
+    const int32_t loh = NibModel::eff(sh[prev_h], h);
+    const int32_t fh = NibModel::eff(sh[prev_h], h + 1) - loh;
+    const int32_t* sr = sl[lctx(h)];
+    const int32_t lol = NibModel::eff(sr, l);
+    const int32_t fl = NibModel::eff(sr, l + 1) - lol;
+    *lo12 = (loh << 8) + fh * lol;
+    *f12 = fh * fl;
+  }
+  inline void update(int s, int base_rate) {
+    const int h = s >> 4, l = s & 15;
+    NibModel::shift_update(sh[prev_h], h, rate_at(base_rate, cnth[prev_h]));
+    cnth[prev_h]++;
+    const int lc = lctx(h);
+    NibModel::shift_update(sl[lc], l, rate_at(base_rate, cntl[lc]));
+    cntl[lc]++;
+    prev_h = h;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int o2n_encode_block(const uint8_t* data, int n, int rate, uint16_t* words) {
+  constexpr int pb = 16;
+  std::vector<int32_t> lo(n), fr(n);
+  Nib2Model m;
+  m.init();
+  for (int t = 0; t < n; t++) {
+    m.interval_of(data[t], &lo[t], &fr[t]);
+    m.update(data[t], rate);
+  }
+  std::vector<uint16_t> emitted;
+  emitted.reserve(n / 2 + 4);
+  uint32_t x = 1u << 16;
+  for (int t = n - 1; t >= 0; t--) {
+    uint32_t f = (uint32_t)fr[t];
+    uint32_t x_max = f << (32 - pb);
+    if (x >= x_max) {
+      emitted.push_back((uint16_t)(x & 0xFFFF));
+      x >>= 16;
+    }
+    x = ((x / f) << pb) + (x % f) + (uint32_t)lo[t];
+  }
+  words[0] = (uint16_t)(x >> 16);
+  words[1] = (uint16_t)(x & 0xFFFF);
+  int nw = 2;
+  for (int i = (int)emitted.size() - 1; i >= 0; i--) words[nw++] = emitted[i];
+  return nw;
+}
+
+void o2n_decode_block(const uint16_t* words, int n, int rate, uint8_t* out) {
+  constexpr int pb = 16;
+  Nib2Model m;
+  m.init();
+  uint32_t x = ((uint32_t)words[0] << 16) | words[1];
+  int pos = 2;
+  for (int t = 0; t < n; t++) {
+    const int32_t slot = (int32_t)(x & 0xFFFF);
+    const int32_t sh8 = slot >> 8;
+    const int32_t* hs = m.sh[m.prev_h];
+    int h = 0;
+    while (h < NV - 1 && NibModel::eff(hs, h + 1) <= sh8) h++;
+    const int32_t loh = NibModel::eff(hs, h);
+    const int32_t fh = NibModel::eff(hs, h + 1) - loh;
+    const int32_t r = slot - (loh << 8);
+    const int32_t* sr = m.sl[m.lctx(h)];
+    int l = 0;
+    while (l < NV - 1 && fh * NibModel::eff(sr, l + 1) <= r) l++;
+    const int32_t lo_s = fh * NibModel::eff(sr, l);
+    const int32_t f12 = fh * (NibModel::eff(sr, l + 1) - NibModel::eff(sr, l));
+    x = (uint32_t)f12 * (x >> pb) + (uint32_t)(r - lo_s);
+    if (x < (1u << 16)) x = (x << 16) | words[pos++];
+    const int s = (h << 4) | l;
+    out[t] = (uint8_t)s;
+    m.update(s, rate);
+  }
+}
+
+void o2n_encode_blocks(const uint8_t* data, const int32_t* offsets,
+                       const int32_t* lengths, int nblocks, int cap, int rate,
+                       uint16_t* words_out, int32_t* nwords_out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < nblocks; i++) {
+    nwords_out[i] = o2n_encode_block(data + offsets[i], lengths[i], rate,
+                                     words_out + (int64_t)i * cap);
+  }
+}
+
+void o2n_decode_blocks(const uint16_t* words, const int32_t* lengths,
+                       int nblocks, int cap, int rate,
+                       const int32_t* out_offsets, uint8_t* out) {
+#pragma omp parallel for schedule(dynamic)
+  for (int i = 0; i < nblocks; i++) {
+    o2n_decode_block(words + (int64_t)i * cap, lengths[i], rate,
+                     out + out_offsets[i]);
+  }
+}
+
+}  // extern "C"

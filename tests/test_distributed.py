@@ -147,7 +147,7 @@ def test_distributed_model_roundtrip_order1n():
 
     rng = np.random.default_rng(7)
     data = bytes(rng.integers(32, 120, 40000, dtype=np.uint8))
-    for model in ("order0n", "order1n", "order0c"):
+    for model in ("order0n", "order1n", "order2n", "order0c"):
         c = compress_distributed(data, block_size=1024, model=model)
         assert decompress_distributed(c) == data, model
 

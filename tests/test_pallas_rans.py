@@ -211,6 +211,56 @@ class TestOrder0Nib:
         assert ref == list(syms[:, 0])
 
 
+class TestOrder2Nib:
+    """Codec "order2n": hi | prev_h, lo | (h, prev_h >> 2) — 64 lo
+    contexts. Spec holder is models.functional.Order2NibCDF; kernels must
+    match it bit-for-bit and round-trip through the shared rANS-32/16
+    layer (the 64-row table also exercises the generic tree-select and the
+    narrowed sub-kernel lane splitting)."""
+
+    def test_intervals_and_roundtrip(self):
+        from lac_tpu.models.functional import Order2NibCDF
+        from lac_tpu.ops.pallas_rans import (
+            o2n_encode_fused,
+            o2n_encode_intervals,
+            o2n_rans32_decode,
+        )
+
+        rng = np.random.default_rng(13)
+        b, t_len = 4, 192
+        syms = rng.integers(0, V, (t_len, b)).astype(np.int32)
+        syms[:, 0] = (rng.integers(0, 4, t_len) * 16 + rng.integers(0, 4, t_len)) & 0xFF
+        m = Order2NibCDF(vocab=256, prob_bits=16, rate=RATE)
+        cdf_j = jax.jit(m.cdf)
+        upd_j = jax.jit(m.update)
+        lo, fr = o2n_encode_intervals(jnp.asarray(syms), RATE)
+        lo, fr = np.asarray(lo), np.asarray(fr)
+        st = m.init_state(b)
+        lanes = np.arange(b)
+        for t in range(t_len):
+            cdf = np.asarray(cdf_j(st))
+            s = syms[t]
+            assert (lo[t] == cdf[lanes, s]).all(), t
+            assert (fr[t] == cdf[lanes, s + 1] - cdf[lanes, s]).all(), t
+            st = upd_j(st, jnp.asarray(s))
+        lengths = np.array([192, 1, 100, 192], dtype=np.int32)
+        words, nwords = o2n_encode_fused(
+            jnp.asarray(syms), jnp.asarray(lengths)[None, :], RATE, t_len + 2
+        )
+        # bitstream matches the generic numpy spec encoder
+        for lane in range(b):
+            n = lengths[lane]
+            ref = rans32_encode_np(lo[:n, lane], fr[:n, lane], PB)
+            assert np.asarray(nwords)[lane] == len(ref)
+            assert (np.asarray(words)[lane, : len(ref)] == ref.astype(np.uint16)).all()
+        decoded = np.asarray(
+            o2n_rans32_decode(jnp.asarray(np.asarray(words)), jnp.asarray(lengths), t_len, RATE)
+        )
+        for lane in range(b):
+            n = lengths[lane]
+            assert (decoded[:n, lane] == syms[:n, lane]).all(), f"lane {lane}"
+
+
 class TestOrder1Nib:
     """Codec "order1n": prev-h-conditioned hi table. Spec holder is
     models.functional.Order1NibCDF; kernels must match it bit-for-bit and

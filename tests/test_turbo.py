@@ -48,7 +48,7 @@ def test_incompressible():
     assert len(c) < len(data) * 1.05
 
 
-@pytest.mark.parametrize("model", ["order0c", "order0n", "order1n"])
+@pytest.mark.parametrize("model", ["order0c", "order0n", "order1n", "order2n"])
 def test_roundtrip_models(model):
     data = _text(8000)
     c = turbo_compress(data, block_size=1024, model=model)
@@ -78,13 +78,32 @@ def test_nibble_huge_block_falls_back_to_order0c(model):
     assert turbo_decompress(c) == data
 
 
-@pytest.mark.parametrize("model", ["order0n", "order1n"])
+@pytest.mark.parametrize("model", ["order0n", "order1n", "order2n"])
 def test_nibble_incompressible(model):
     rng = np.random.default_rng(3)
     data = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
     c = turbo_compress(data, block_size=1024, model=model)
     assert turbo_decompress(c) == data
     assert len(c) < len(data) * 1.05
+
+
+def test_order2n_block4096_roundtrip():
+    """order2n's design point: block 4096 (64 lo-contexts need the longer
+    adaptation run; the decode runs narrowed 1024-lane sub-kernels there).
+    Must stay order2n (no geometry fallback) and round-trip."""
+    data = _text(3 * 4096 + 517)
+    c = turbo_compress(data, block_size=4096, model="order2n")
+    header, _ = read_container(c)
+    assert header.model_id == "order2n"
+    assert turbo_decompress(c) == data
+
+
+def test_order2n_huge_block_falls_back():
+    data = _text(70000)
+    c = turbo_compress(data, block_size=65536, model="order2n")
+    header, _ = read_container(c)
+    assert header.model_id == "order0c"
+    assert turbo_decompress(c) == data
 
 
 def test_codec_fuzz_cross_implementation():
@@ -101,7 +120,7 @@ def test_codec_fuzz_cross_implementation():
         b"\x00" * 1500,                                          # degenerate
     ]
     data = b"".join(chunks)[: 11801]  # ragged final block
-    for model in ("order0n", "order1n", "order0c"):
+    for model in ("order0n", "order1n", "order2n", "order0c"):
         c = turbo_compress(data, block_size=1024, model=model)
         assert turbo_decompress(c) == data, model
         if native_available():
