@@ -95,6 +95,25 @@ def main() -> int:
     t1e = med(lambda: o1n_encode_fused(syms_d, lengths[None, :], RATE, T // 2 + 3)[1])
     t1d = med(lambda: o1n_rans32_decode(words1, lengths, T, RATE))
 
+    # ratio rung (order2n): 64-context lo table at its block-4096 design
+    # point (same sustained protocol; 4096 lanes x 4096-byte blocks)
+    from lac_tpu.ops.pallas_rans import o2n_encode_fused, o2n_rans32_decode
+
+    B2, T2 = 4096, 4096
+    data2 = build_corpus(B2 * T2)
+    arr2 = np.frombuffer(data2, dtype=np.uint8).reshape(B2, T2).T.astype(np.int32)
+    syms2 = jnp.asarray(arr2)
+    l2 = jnp.full((B2,), T2, dtype=jnp.int32)
+    w2, nw2 = o2n_encode_fused(syms2, l2[None, :], RATE, T2 // 2 + 3)
+    o2n_bpb = 16 * float(jnp.mean(nw2)) / T2
+    maxw2 = int(jnp.max(nw2))
+    cap2b = next(c for c in (256, 384, 512, 768, 1024, 1536, 2048, T2 // 2 + 3)
+                 if c >= maxw2)
+    words2 = jnp.asarray(jnp.asarray(w2)[:, :cap2b])
+    mb2 = B2 * T2 / 1e6
+    t2e = med(lambda: o2n_encode_fused(syms2, l2[None, :], RATE, T2 // 2 + 3)[1])
+    t2d = med(lambda: o2n_rans32_decode(words2, l2, T2, RATE))
+
     # LM-path throughput (flagship capability): lock-step coding with the
     # ~20M-param byte LM preset, B lanes in one jitted scan
     import dataclasses as _dc
@@ -141,6 +160,10 @@ def main() -> int:
             "order1n_encode_MBps": round(mb1 / t1e, 1),
             "order1n_decode_MBps": round(mb1 / t1d, 1),
             "order1n_bits_per_byte": round(o1n_bpb, 4),
+            "order2n_encode_MBps": round(mb2 / t2e, 1),
+            "order2n_decode_MBps": round(mb2 / t2d, 1),
+            "order2n_bits_per_byte": round(o2n_bpb, 4),
+            "order2n_block": T2,
         },
     }))
     return 0

@@ -2,7 +2,8 @@
 
 File bytes -> fixed-size blocks -> coding lanes, processed in fixed-shape
 waves of up to MAX_WAVE lanes so every wave reuses one compiled kernel set.
-Three kernel-backed models share the container format and coder spec:
+Four kernel-backed models share the container format and coder spec (a
+speed/ratio ladder; see docs/DESIGN.md §4.1):
 
 - "order0n" (default): nibble-factorized shift-to-target model — the two
   8-bit nibble CDFs compose into ONE 16-bit rANS step per byte, cutting the
@@ -11,6 +12,9 @@ Three kernel-backed models share the container format and coder spec:
 - "order1n": order-1 nibble factorization (hi nibble conditioned on the
   previous byte's hi nibble) — better ratio than BOTH order0c and order0n,
   faster than order0c; pick it when ratio matters more than peak speed.
+- "order2n": order-2-lite (lo nibble additionally conditioned on
+  prev hi >> 2; 64 lo contexts) — the best-ratio rung; use block_size
+  >= 4096 (at 1024 the extra contexts dilute below order1n).
 - "order0c": joint byte-alphabet shift-to-target model (the geometry
   fallback for blocks too large for the fused nibble decode kernels).
 
@@ -130,17 +134,30 @@ def turbo_compress(
         """Fetch one wave's results and append its BlockEntries. All host
         work is vectorized or contiguous-slice: raw-fallback payloads come
         straight from the input bytes (no strided column copies), coded
-        payloads are contiguous row slices of the one byteswapped grid."""
+        payloads are contiguous row slices of the one byteswapped grid.
+
+        The word grid is fetched SLICED to the wave's coded-lane cap bucket
+        (a device slice, then one transfer): the kernels' fixed cap is
+        block_size//2+3 but coded lanes rarely exceed ~40% of it, and the
+        fetch rides the slow half of the harness tunnel — bucket slicing
+        cuts encode download bytes ~25-40% on text (raw-fallback lanes are
+        excluded from the bucket: their word counts are immaterial)."""
         nwords = np.asarray(nwords_d)
-        words = np.asarray(words_d).astype(">u2")  # one pass, not per block
         nb = min(len(nwords), nblocks - done0)
+        starts = (done0 + np.arange(nb)) * block_size
+        lengths_w = np.minimum(block_size, n - starts)
+        coded = 2 * nwords[:nb] < np.maximum(lengths_w, 1)
+        maxw = int(nwords[:nb][coded].max()) if coded.any() else 0
+        bucket = _decode_cap_bucket(maxw, block_size)
+        words = np.asarray(words_d[:, :bucket]).astype(">u2")
         for j in range(nb):
-            start = (done0 + j) * block_size
-            length = min(block_size, n - start)
-            if 2 * int(nwords[j]) >= length and length > 0:
+            length = int(lengths_w[j])
+            if not coded[j] and length > 0:
                 # raw fallback: token_count 0 marks an uncoded block, which
                 # bounds expansion on incompressible data at ~1.0x
-                blocks.append(BlockEntry(length, 0, data[start : start + length]))
+                blocks.append(
+                    BlockEntry(length, 0, data[starts[j] : starts[j] + length])
+                )
             else:
                 blocks.append(
                     BlockEntry(length, length, words[j, : nwords[j]].tobytes())
