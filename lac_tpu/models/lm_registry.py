@@ -31,9 +31,16 @@ PRESETS = {
         vocab=256, max_seq=256, pos_embedding="learned", norm="layernorm",
         act="gelu", use_bias=True, tie_embeddings=True, n_kv_heads=4,
     ),
-    "byte-12l": lambda: LMConfig(          # ~20M-param byte LM (flagship
+    "byte-12l": lambda: LMConfig(          # ~28M-param byte LM (flagship
         vocab=256, d_model=384, n_layers=12, n_heads=6, n_kv_heads=6,
         d_ff=1536, max_seq=1024, dtype=jnp.bfloat16,   # byte-level config)
+    ),
+    "byte-12l-mqa": lambda: LMConfig(      # byte-12l with MQA: 1 KV head.
+        vocab=256, d_model=384, n_layers=12, n_heads=6, n_kv_heads=1,
+        d_ff=1536, max_seq=1024, dtype=jnp.bfloat16,
+        # lock-step coding is KV-cache-bandwidth-bound (every step reads the
+        # whole cache), so 6x fewer KV heads is ~6x the coding ceiling for
+        # a small ratio cost — the serving-style tradeoff, applied to coding
     ),
     "byte-6l": lambda: LMConfig(           # ~6M-param byte LM: small enough
         vocab=256, d_model=256, n_layers=6, n_heads=4, n_kv_heads=4,

@@ -28,6 +28,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..models.functional import CDF_STATE_BITS  # noqa: F401  (spec anchor)
@@ -142,14 +143,15 @@ def turbo_compress(
         fetch rides the slow half of the harness tunnel — bucket slicing
         cuts encode download bytes ~25-40% on text (raw-fallback lanes are
         excluded from the bucket: their word counts are immaterial)."""
-        nwords = np.asarray(nwords_d)
-        nb = min(len(nwords), nblocks - done0)
-        starts = (done0 + np.arange(nb)) * block_size
-        lengths_w = np.minimum(block_size, n - starts)
-        coded = 2 * nwords[:nb] < np.maximum(lengths_w, 1)
-        maxw = int(nwords[:nb][coded].max()) if coded.any() else 0
-        bucket = _decode_cap_bucket(maxw, block_size)
-        words = np.asarray(words_d[:, :bucket]).astype(">u2")
+        with jax.profiler.TraceAnnotation("turbo/encode_fetch"):
+            nwords = np.asarray(nwords_d)
+            nb = min(len(nwords), nblocks - done0)
+            starts = (done0 + np.arange(nb)) * block_size
+            lengths_w = np.minimum(block_size, n - starts)
+            coded = 2 * nwords[:nb] < np.maximum(lengths_w, 1)
+            maxw = int(nwords[:nb][coded].max()) if coded.any() else 0
+            bucket = _decode_cap_bucket(maxw, block_size)
+            words = np.asarray(words_d[:, :bucket]).astype(">u2")
         for j in range(nb):
             length = int(lengths_w[j])
             if not coded[j] and length > 0:
@@ -174,16 +176,17 @@ def turbo_compress(
             # only a possible ragged tail block is copied separately. u8 on
             # the wire — the harness tunnel is bandwidth-bound, so dtype
             # width is host-path throughput (casts happen on device).
-            syms = np.zeros((block_size, wave), dtype=np.uint8)  # time-major
-            lengths = np.zeros((wave,), dtype=np.int32)
-            span = arr[done * block_size : min((done + wave) * block_size, n)]
-            full = len(span) // block_size
-            syms[:, :full] = span[: full * block_size].reshape(full, block_size).T
-            lengths[:full] = block_size
-            if full < wave and full * block_size < len(span):
-                tail = span[full * block_size :]
-                syms[: len(tail), full] = tail
-                lengths[full] = len(tail)
+            with jax.profiler.TraceAnnotation("turbo/wave_assemble"):
+                syms = np.zeros((block_size, wave), dtype=np.uint8)  # time-major
+                lengths = np.zeros((wave,), dtype=np.int32)
+                span = arr[done * block_size : min((done + wave) * block_size, n)]
+                full = len(span) // block_size
+                syms[:, :full] = span[: full * block_size].reshape(full, block_size).T
+                lengths[:full] = block_size
+                if full < wave and full * block_size < len(span):
+                    tail = span[full * block_size :]
+                    syms[: len(tail), full] = tail
+                    lengths[full] = len(tail)
             # cap at block_size//2+3: any lane needing more words than that
             # has payload >= raw and is stored raw below (checked on nwords
             # BEFORE slicing, so truncation of its word list is immaterial)
