@@ -69,9 +69,14 @@ def train_byte_lm(
     ``eval_every`` steps, and (if ``save_best_path``) the best-so-far params
     are checkpointed there — early stopping by construction: the returned
     params are the final step's, the saved file is the best eval. The saved
-    config's ``max_seq`` is capped at ``save_max_seq`` (default 2*seq: RoPE
-    positions far beyond the training length are unlearned and collapse
-    prediction quality — measured ~3x worse bpb at 4x train seq)."""
+    config's ``max_seq`` is capped at ``save_max_seq`` (default: the
+    training sequence length). RoPE positions past the training length
+    degrade and then collapse — measured per-position held-out loss on a
+    byte-12l/seq-512 run: 0.84 bits/byte in-distribution, 0.98 at
+    1-1.5x train seq, 2.77 at 1.5-2x — and the windowed coder spends half
+    its tokens in the top half of the window, so capping at train length
+    is the measured ratio optimum (window 512: 1.01 bpb coding vs window
+    768: 1.10 vs window 1024: 1.75 on the same data)."""
     if cfg.vocab < 256:
         raise ValueError("byte LM needs vocab >= 256")
     if seq + 1 > cfg.max_seq:
@@ -153,7 +158,7 @@ def train_byte_lm(
                 if save_best_path:
                     import dataclasses
 
-                    cap = save_max_seq or min(cfg.max_seq, 2 * seq)
+                    cap = save_max_seq or min(cfg.max_seq, seq)
                     save_checkpoint(
                         save_best_path,
                         dataclasses.replace(cfg, max_seq=min(cfg.max_seq, cap)),
