@@ -314,7 +314,7 @@ def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
 
 
 def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
-            prefill: bool = False):
+            prefill: bool = False, remat: bool = False):
     """Run S tokens through the model starting at cache position ``pos``.
 
     tokens: [B, S] int32 (values in [0, vocab]; ``vocab`` = BOS row).
@@ -329,6 +329,13 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
 
     ``prefill=True``: promise that the cache is empty (pos must be 0) —
     skips the cache-side attention (an all-masked [S, W] score block).
+
+    ``remat=True``: checkpoint (rematerialize) each layer for the backward
+    pass — under the layer scan, autodiff otherwise saves every layer's
+    attention probabilities ([B, H, S, W] f32 x L), which OOMs HBM at
+    training shapes (measured 23GB at L=12, B=64, S=512); with remat only
+    the inter-layer activations are saved and attention recomputes in the
+    backward. Inference paths (no grads) leave it off.
     """
     x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, D]
     pos = cache["pos"]
@@ -344,8 +351,9 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
         x = x + _mlp(cfg, lp, _norm(cfg, lp["ln2"], x))
         return x, (fk, fv)
 
+    body = jax.checkpoint(layer_step) if remat else layer_step
     x, (fk, fv) = jax.lax.scan(
-        layer_step, x, (params["layers"], cache["k"], cache["v"])
+        body, x, (params["layers"], cache["k"], cache["v"])
     )
     x = _norm(cfg, params["final_norm"], x)
     if cfg.tie_embeddings:
