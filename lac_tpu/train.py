@@ -39,7 +39,8 @@ def lm_loss(cfg: LMConfig, params, tokens):
     # row spans the cache width, so an oversized cache multiplies attention
     # HBM traffic (and at B>=128 wedges the remote compile)
     cache = init_cache(cfg, tokens.shape[0], window=inp.shape[1])
-    logits, _ = forward(cfg, params, inp, cache, prefill=True, remat=True)
+    logits, _ = forward(cfg, params, inp, cache, prefill=True, remat=True,
+                        unroll=False)
     logp = jax.nn.log_softmax(logits.astype(f32), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
