@@ -35,6 +35,7 @@ def _cmd_compress(args) -> int:
             prob_bits=args.prob_bits,
             window=args.window,
             overlap=args.overlap,
+            det8=args.det8,
         )
         out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
     else:
@@ -194,6 +195,9 @@ def main(argv=None) -> int:
                    help="LM context window cap in tokens (default: model context)")
     c.add_argument("--overlap", type=int, default=2,
                    help="window re-prime keep fraction denominator (reference semantics)")
+    c.add_argument("--det8", action="store_true",
+                   help="topology-invariant LM forward (integer reductions): "
+                        "bitstream identical on every mesh geometry")
     c.add_argument("--mesh-data", type=int, default=0,
                    help="device mesh data-parallel span (0 = no mesh / all remaining)")
     c.add_argument("--mesh-model", type=int, default=1,

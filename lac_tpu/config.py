@@ -42,6 +42,7 @@ class LMCodingConfig:
     prob_bits: int = 16
     window: int | None = None           # sliding context window cap in tokens
     overlap: int = 2                    # window keep fraction denominator
+    det8: bool = False                  # topology-invariant integer forward
 
     def engine_kwargs(self) -> dict:
         """Keyword mapping for runtime.lm_api.lm_compress_bytes. ``window``
@@ -54,6 +55,7 @@ class LMCodingConfig:
             "prob_bits": self.prob_bits,
             "overlap": self.overlap,
             "max_seq": self.window,
+            "det8": self.det8,
         }
 
 

@@ -28,11 +28,15 @@ Design rules (these are correctness constraints, not style):
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from ..ops.detmath import det_exp, det_gelu_tanh, det_rsqrt, det_silu
 
 __all__ = [
     "LMConfig",
@@ -67,6 +71,16 @@ class LMConfig:
     dtype: Any = jnp.bfloat16
     rope_theta: float = 10000.0
     norm_eps: float = 1e-5
+    # Topology-invariant deterministic forward (SURVEY.md §2.5 hard part
+    # #6). When True, every order-sensitive REDUCTION in the forward runs in
+    # integer arithmetic — matmul accumulation (int8/dual-int8 operands,
+    # int32 accumulators), softmax denominators, and norm statistics — while
+    # elementwise work stays float32. Integer addition is associative, so
+    # the bits cannot depend on how a mesh tiles the reductions: the same
+    # weights give bit-identical logits-derived CDFs at every TP/DP width
+    # (measured; tests/test_multichip.py). False = plain float forward
+    # (fastest; bits then depend on mesh geometry, which the container pins).
+    det8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -201,28 +215,180 @@ def init_cache(cfg: LMConfig, batch: int, window: int | None = None) -> dict:
 
 def _norm(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
     xf = x.astype(f32)
+    mean_sq = _det_mean_sq if cfg.det8 else (
+        lambda v: jnp.mean(v * v, axis=-1, keepdims=True))
+    rsqrt = det_rsqrt if cfg.det8 else jax.lax.rsqrt
     if cfg.norm == "rmsnorm":
-        xf = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + f32(cfg.norm_eps))
+        xf = xf * rsqrt(mean_sq(xf) + f32(cfg.norm_eps))
         return (xf * p["scale"].astype(f32)).astype(cfg.dtype)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + f32(cfg.norm_eps))
+    mean = _det_mean(xf) if cfg.det8 else jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    xf = xc * rsqrt(mean_sq(xc) + f32(cfg.norm_eps))
     return (xf * p["scale"].astype(f32) + p["bias"].astype(f32)).astype(cfg.dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _rope_table(max_seq: int, hd: int, theta: float):
+    """Host-precomputed RoPE tables [max_seq, hd//2] (float64 -> f32). Used
+    by det8: the values enter the graph as constants, so no device trig runs
+    and the bits cannot depend on how a shape vectorizes."""
+    half = hd // 2
+    fr = np.exp(np.arange(half, dtype=np.float64) * (-np.log(float(theta)) * 2.0 / hd))
+    ang = np.arange(max_seq, dtype=np.float64)[:, None] * fr[None, :]
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
 def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
     """Rotary embedding. x: [B, S, H, Dh]; positions: [S] int32."""
     hd = x.shape[-1]
     half = hd // 2
-    freqs = jnp.exp(
-        jnp.arange(0, half, dtype=f32) * (-jnp.log(f32(cfg.rope_theta)) * 2.0 / f32(hd))
-    )
-    ang = positions.astype(f32)[:, None] * freqs[None, :]  # [S, half]
-    cos = jnp.cos(ang)[None, :, None, :]
-    sin = jnp.sin(ang)[None, :, None, :]
+    if cfg.det8:
+        tc, ts = _rope_table(cfg.max_seq, hd, cfg.rope_theta)
+        cos = jnp.take(jnp.asarray(tc), positions, axis=0)[None, :, None, :]
+        sin = jnp.take(jnp.asarray(ts), positions, axis=0)[None, :, None, :]
+    else:
+        freqs = jnp.exp(
+            jnp.arange(0, half, dtype=f32) * (-jnp.log(f32(cfg.rope_theta)) * 2.0 / f32(hd))
+        )
+        ang = positions.astype(f32)[:, None] * freqs[None, :]  # [S, half]
+        cos = jnp.cos(ang)[None, :, None, :]
+        sin = jnp.sin(ang)[None, :, None, :]
     x1, x2 = x[..., :half].astype(f32), x[..., half:].astype(f32)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# det8: topology-invariant integer-reduction forward (cfg.det8)
+#
+# Why integers: a float matmul's bits depend on its accumulation ORDER, which
+# XLA picks per output-tile shape — and tensor parallelism changes the tile
+# shapes (measured: chunked-fixed-point partial sums over just the
+# contraction-sharded dots still left ~1.5e-3 logit divergence across TP
+# widths, because the OUTPUT-sharded projections re-tile too). Integer
+# addition is associative, so moving every reduction to int32 makes the
+# result independent of tiling/mesh. Elementwise float ops (exp, rsqrt,
+# scaling) stay f32: they are value-dependent only.
+#
+# Quantization scheme (all scales derived via max(), itself order-invariant):
+# - weights:      int8, one scale per output column (max over K);
+# - activations:  "dual int8" = int16 precision as hi*256 + lo with hi, lo
+#                 int8 (lo in [-128, 127], no correction term needed), one
+#                 scale per row (max over K) -> two int8 matmuls, combined
+#                 256*hi_dot + lo_dot in f32;
+# - softmax:      exp() f32, denominator = int32 sum of round(exp * 2^sb);
+# - norms:        sum-of-squares of int16-quantized rows accumulated as two
+#                 int32 sums (sq >> s, sq & mask) recombined in f32.
+# int8*int8 contractions accumulate exactly in int32 for K < 2^31/127^2
+# (~133k), covering every preset. Cost: ~2x matmul work + on-the-fly weight
+# quantization; this is an opt-in determinism mode, not the speed path.
+# --------------------------------------------------------------------------
+
+
+def _ceil_log2(n: int) -> int:
+    return max(0, int(n - 1).bit_length())
+
+
+# Scale discipline for everything below (measured, scratch/det8_prim_probe*):
+# XLA's algebraic simplifier canonicalizes scalar-literal constants out of
+# broadcast multiply chains — (x*c)*t and (m*c1)*(m*c2) re-associate
+# DIFFERENTLY across sharded graph variants, moving bits. So quantization
+# scales are pure maxima (NO scalar factor inside); every static constant is
+# folded into exactly one terminal multiply (feeding a round()/add, or as
+# x*(t*c) with the scalar inside the right operand).
+
+
+def _q8(x: jax.Array, axis) -> tuple[jax.Array, jax.Array]:
+    """int8 quantization of f32 ``x`` with one scale-free max per slice
+    along ``axis`` (the contraction axis): x ~= q * s / 127, |q| <= 127."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=axis, keepdims=True), f32(1e-30))
+    q = jnp.round((x / s) * f32(127.0)).astype(jnp.int8)
+    return q, s
+
+
+def _dual16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """int16-precision dual-int8 row quantization over the LAST axis:
+    x ~= (256*hi + lo) * s / 32512 with hi in [-127,127], lo in [-128,127]."""
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), f32(1e-30))
+    q = jnp.round((x / s) * f32(32512.0)).astype(jnp.int32)  # 127 * 256
+    hi = (q + 128) >> 8  # round-to-nearest high byte
+    lo = q - (hi << 8)
+    return hi.astype(jnp.int8), lo.astype(jnp.int8), s
+
+
+_DUAL_K = 1.0 / (32512.0 * 127.0)  # dequant constant of a dual16 x q8 dot
+
+
+def _dual_einsum(eq: str, hi, lo, q8) -> jax.Array:
+    """The two int8 contractions of a dual-int8 operand, recombined in f32
+    with the static dequant constant folded in (f32 conversion of a
+    deterministic int32 is itself deterministic)."""
+    dhi = jnp.einsum(eq, hi, q8, preferred_element_type=jnp.int32)
+    dlo = jnp.einsum(eq, lo, q8, preferred_element_type=jnp.int32)
+    return dhi.astype(f32) * f32(256.0 * _DUAL_K) + dlo.astype(f32) * f32(_DUAL_K)
+
+
+def _det_dot8(x: jax.Array, w: jax.Array) -> jax.Array:
+    """x [..., K] @ w [K, N] -> f32 [..., N] with integer accumulation."""
+    hi, lo, sx = _dual16(x.astype(f32))
+    w8, sw = _q8(w.astype(f32), axis=0)  # sw [1, N]
+    return _dual_einsum("...k,kn->...n", hi, lo, w8) * (sx * sw)
+
+
+def _det_softmax(scores: jax.Array) -> jax.Array:
+    """Softmax over the last axis with an integer denominator (masked
+    entries arrive as -inf and contribute exactly zero)."""
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = det_exp(scores - m)
+    sb = 30 - _ceil_log2(scores.shape[-1])  # sum <= 2^sb * n < 2^31
+    ei = jnp.round(e * f32(2.0**sb)).astype(jnp.int32)
+    tot = jnp.sum(ei, axis=-1, keepdims=True)
+    return ei.astype(f32) / tot.astype(f32)
+
+
+def _det_mean_sq(x: jax.Array) -> jax.Array:
+    """Deterministic mean-of-squares over the last axis: int16 row
+    quantization, squares split into two int32 accumulators."""
+    d = x.shape[-1]
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), f32(1e-30))
+    q = jnp.round((x / s) * f32(32767.0)).astype(jnp.int32)
+    sq = q * q  # <= 2^30
+    shift = max(12, _ceil_log2(d) - 1)  # sum(sq>>shift) and sum(sq&mask) fit int32
+    cc = 1.0 / (32767.0 * 32767.0 * d)  # static dequant constant, folded once
+    hi = jnp.sum(sq >> shift, axis=-1, keepdims=True).astype(f32) * f32(float(1 << shift) * cc)
+    lo = jnp.sum(sq & ((1 << shift) - 1), axis=-1, keepdims=True).astype(f32) * f32(cc)
+    return (hi + lo) * (s * s)
+
+
+def _det_mean(x: jax.Array) -> jax.Array:
+    """Deterministic mean over the last axis (int16 row quantization)."""
+    d = x.shape[-1]
+    s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), f32(1e-30))
+    q = jnp.round((x / s) * f32(32767.0)).astype(jnp.int32)
+    return jnp.sum(q, axis=-1, keepdims=True).astype(f32) * (s * f32(1.0 / (32767.0 * d)))
+
+
+def _det_scores(eq: str, qg: jax.Array, kv: jax.Array) -> jax.Array:
+    """Attention scores with integer accumulation: qg [b,s,k,r,d] (dual-int8
+    rows over d), kv [b,j,k,d] (int8 rows over d) -> f32 [b,k,r,s,j]."""
+    hi, lo, sq = _dual16(qg.astype(f32))
+    k8, sk = _q8(kv.astype(f32), axis=-1)
+    dots = _dual_einsum(eq, hi, lo, k8)
+    sq_t = jnp.transpose(sq, (0, 2, 3, 1, 4))                          # [b,k,r,s,1]
+    sk_t = jnp.transpose(sk[..., 0], (0, 2, 1))[:, :, None, None, :]   # [b,k,1,1,j]
+    return dots * sq_t * sk_t
+
+
+def _det_attn_out(eq: str, probs: jax.Array, v: jax.Array) -> jax.Array:
+    """probs [b,k,r,s,j] (dual-int8 rows over j) x v [b,j,k,d] (int8 COLUMNS
+    over the contraction axis j, so the scale stays factorable) -> f32
+    [b,s,k,r,d]."""
+    hi, lo, sp = _dual16(probs)
+    v8, sv = _q8(v.astype(f32), axis=1)
+    out = _dual_einsum(eq, hi, lo, v8)
+    sp_t = jnp.transpose(sp, (0, 3, 1, 2, 4))   # [b,s,k,r,1]
+    sv_t = sv[:, :, :, None, :]                 # [b,1,k,1,d]
+    return out * sp_t * sv_t
 
 
 def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool):
@@ -244,7 +410,10 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     def proj(w, bias_name, out_heads):
-        y = jnp.dot(x, p[w], preferred_element_type=f32).astype(cfg.dtype)
+        if cfg.det8:
+            y = _det_dot8(x, p[w]).astype(cfg.dtype)
+        else:
+            y = jnp.dot(x, p[w], preferred_element_type=f32).astype(cfg.dtype)
         if cfg.use_bias:
             y = y + p[bias_name]
         return y.reshape(b, s, out_heads, hd)
@@ -267,47 +436,80 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
     scale = f32(1.0) / jnp.sqrt(f32(hd))
     # fresh-block scores: causal within the block (exact -inf masking so
     # masked positions contribute exactly zero after softmax)
-    sf = jnp.einsum("bskrd,bjkd->bkrsj", qg, k, preferred_element_type=f32)
+    if cfg.det8:
+        # fold 1/sqrt(hd) into q BEFORE quantization (one scalar multiply;
+        # a post-hoc `scores * scale` would form the (x*c)*t chain XLA
+        # reassociates differently across sharded graph variants)
+        qg = qg.astype(f32) * scale
+        sf = _det_scores("bskrd,bjkd->bkrsj", qg, k)
+    else:
+        sf = jnp.einsum("bskrd,bjkd->bkrsj", qg, k, preferred_element_type=f32)
+        sf = sf * scale
     i_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, :, None]
     j_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, None, :]
-    sf = jnp.where(j_ids <= i_ids, sf * scale, f32(-jnp.inf))
+    sf = jnp.where(j_ids <= i_ids, sf, f32(-jnp.inf))
     if prefill:
-        probs = jax.nn.softmax(sf, axis=-1)
-        out = jnp.einsum(
-            "bkrsj,bjkd->bskrd", probs.astype(cfg.dtype), v,
-            preferred_element_type=f32,
-        ).astype(cfg.dtype)
+        if cfg.det8:
+            probs = _det_softmax(sf)
+            out = _det_attn_out("bkrsj,bjkd->bskrd", probs, v).astype(cfg.dtype)
+        else:
+            probs = jax.nn.softmax(sf, axis=-1)
+            out = jnp.einsum(
+                "bkrsj,bjkd->bskrd", probs.astype(cfg.dtype), v,
+                preferred_element_type=f32,
+            ).astype(cfg.dtype)
     else:
         # bf16 einsum inputs with f32 accumulation: materializing f32 casts
         # of the cached K/V doubles the per-step HBM traffic (measured
         # dominant); window derives from the cache shape, not cfg.max_seq
-        sc = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
+        if cfg.det8:
+            sc = _det_scores("bskrd,bwkd->bkrsw", qg, ck)  # qg pre-scaled above
+        else:
+            sc = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
+            sc = sc * scale
         w_ids = jnp.arange(ck.shape[1], dtype=jnp.int32)[None, None, None, None, :]
-        sc = jnp.where(w_ids < pos, sc * scale, f32(-jnp.inf))
-        probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
-        pc = probs[..., : ck.shape[1]].astype(cfg.dtype)
-        pf = probs[..., ck.shape[1] :].astype(cfg.dtype)
-        out = (
-            jnp.einsum("bkrsw,bwkd->bskrd", pc, cv, preferred_element_type=f32)
-            + jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
-        ).astype(cfg.dtype)
+        sc = jnp.where(w_ids < pos, sc, f32(-jnp.inf))
+        if cfg.det8:
+            probs = _det_softmax(jnp.concatenate([sc, sf], axis=-1))
+            pc = probs[..., : ck.shape[1]]
+            pf = probs[..., ck.shape[1] :]
+            out = (
+                _det_attn_out("bkrsw,bwkd->bskrd", pc, cv)
+                + _det_attn_out("bkrsj,bjkd->bskrd", pf, v)
+            ).astype(cfg.dtype)
+        else:
+            probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
+            pc = probs[..., : ck.shape[1]].astype(cfg.dtype)
+            pf = probs[..., ck.shape[1] :].astype(cfg.dtype)
+            out = (
+                jnp.einsum("bkrsw,bwkd->bskrd", pc, cv, preferred_element_type=f32)
+                + jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
+            ).astype(cfg.dtype)
     out = out.reshape(b, s, h * hd)
-    y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
+    if cfg.det8:
+        y = _det_dot8(out, p["wo"]).astype(cfg.dtype)
+    else:
+        y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
     if cfg.use_bias:
         y = y + p["bo"]
     return y, k, v
 
 
 def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
-    up = jnp.dot(x, p["w_up"], preferred_element_type=f32).astype(cfg.dtype)
+    dot = _det_dot8 if cfg.det8 else (
+        lambda a, w: jnp.dot(a, w, preferred_element_type=f32))
+    up = dot(x, p["w_up"]).astype(cfg.dtype)
     if cfg.use_bias:
         up = up + p["b_up"]
+    silu = det_silu if cfg.det8 else jax.nn.silu
+    gelu = det_gelu_tanh if cfg.det8 else functools.partial(
+        jax.nn.gelu, approximate=True)
     if cfg.act == "silu_glu":
-        gate = jnp.dot(x, p["w_gate"], preferred_element_type=f32)
-        up = (jax.nn.silu(gate) * up.astype(f32)).astype(cfg.dtype)
+        gate = dot(x, p["w_gate"])
+        up = (silu(gate) * up.astype(f32)).astype(cfg.dtype)
     else:
-        up = jax.nn.gelu(up.astype(f32), approximate=True).astype(cfg.dtype)
-    y = jnp.dot(up, p["w_down"], preferred_element_type=f32).astype(cfg.dtype)
+        up = gelu(up.astype(f32)).astype(cfg.dtype)
+    y = dot(up, p["w_down"]).astype(cfg.dtype)
     if cfg.use_bias:
         y = y + p["b_down"]
     return y
@@ -370,9 +572,12 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     # model-dtype operands with f32 MXU accumulation: an explicit f32 cast of
     # the [D, V] head materializes ~260MB per step at 32k vocab and forces a
     # (slower) f32 matmul; bf16-in/f32-out is the hardware's native mode
-    logits = jnp.dot(
-        x.astype(cfg.dtype), wh.astype(cfg.dtype), preferred_element_type=f32
-    )
+    if cfg.det8:
+        logits = _det_dot8(x, wh)
+    else:
+        logits = jnp.dot(
+            x.astype(cfg.dtype), wh.astype(cfg.dtype), preferred_element_type=f32
+        )
     # ONE stacked-cache write for all layers ([L, B, S, KVH, Dh] at pos);
     # indices share one dtype even under scoped x64 (a literal 0 would
     # weakly promote to int64 there while pos is int32)

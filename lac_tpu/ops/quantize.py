@@ -112,19 +112,35 @@ def cdf_from_freq_np(freq: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def quantize_logits(logits: jax.Array, prob_bits: int) -> jax.Array:
+def quantize_logits(logits: jax.Array, prob_bits: int, det: bool = False) -> jax.Array:
     """jnp mirror of quantize_logits_np: logits [..., V] -> int32 frequencies
     summing exactly to 2**prob_bits, each >= 1. prob_bits <= 30 so the total
-    fits int32."""
+    fits int32.
+
+    ``det=True`` (the transformer's det8 mode) replaces the float softmax
+    denominator — the one order-sensitive reduction here — with an int32 sum
+    of round(exp * 2^sb) (sb sized so the sum cannot overflow): integer
+    addition is associative, so the resulting frequencies cannot depend on
+    how a mesh tiles the vocab reduction. All other steps are elementwise
+    float or integer already."""
     v = logits.shape[-1]
     total = 1 << prob_bits
     if total < 2 * v or prob_bits > 30:
         raise ValueError(f"prob_bits {prob_bits} unusable for vocab {v}")
     x = logits.astype(jnp.float32)
     x = x - jnp.max(x, axis=-1, keepdims=True)
-    p = jnp.exp(x)
     budget = jnp.float32(total - v)
-    scale = budget / jnp.sum(p, axis=-1, keepdims=True)
+    if det:
+        from .detmath import det_exp
+
+        p = det_exp(x)
+        sb = 30 - max(0, int(v - 1).bit_length())
+        pi = jnp.round(p * jnp.float32(2.0**sb)).astype(jnp.int32)
+        scale = budget * jnp.float32(2.0**sb) / jnp.sum(
+            pi, axis=-1, keepdims=True).astype(jnp.float32)
+    else:
+        p = jnp.exp(x)
+        scale = budget / jnp.sum(p, axis=-1, keepdims=True)
     q = jnp.floor(p * scale).astype(jnp.int32)
     freq = q + 1
     residual = total - jnp.sum(freq, axis=-1, keepdims=True)

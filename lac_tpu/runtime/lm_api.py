@@ -8,7 +8,7 @@ part of the determinism contract and travels in the container), with
 sliding-window re-priming when blocks exceed the model context.
 
 Container config schema (codec 1 / model_id "lm"):
-    model_ref, max_seq, block_tokens, lanes, overlap, fingerprint, mesh
+    model_ref, max_seq, block_tokens, lanes, overlap, fingerprint, mesh, det8
 
 Determinism and meshes (SURVEY.md §2.5): the byte path is pure-integer and
 topology-invariant, but LM CDFs come from float32 logits, whose values can
@@ -16,6 +16,12 @@ depend on the device mesh (TP changes reduction layouts). The container
 therefore records the encode mesh geometry; decode reconstructs that mesh
 from local devices (failing early with a clear message if it cannot), and
 the fingerprint still gates any residual stack mismatch loudly.
+
+``det8=True`` removes the mesh dependence entirely: the forward runs in the
+integer-reduction mode (models.transformer det8 — all order-sensitive
+reductions in int32), so the bitstream is bit-identical at every mesh
+geometry including none. The recorded mesh then becomes advisory and decode
+may run on any topology (the fingerprint still certifies the stack).
 """
 
 from __future__ import annotations
@@ -110,12 +116,19 @@ def lm_compress_bytes(
     max_seq: int | None = None,
     model=None,
     mesh=None,
+    det8: bool = False,
 ) -> bytes:
     """model: optional pre-resolved (cfg, params) to skip re-resolution.
     mesh: optional jax.sharding.Mesh (axes ``data``, ``model``) — lanes
     shard over ``data``, weights TP-shard over ``model``; the geometry is
-    recorded in the container and required again at decode."""
+    recorded in the container and required again at decode (unless det8).
+    det8: run the topology-invariant integer-reduction forward — the
+    bitstream stops depending on the mesh, so decode may use any topology."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
+    if det8 and not cfg.det8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, det8=True)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -144,6 +157,7 @@ def lm_compress_bytes(
             "overlap": overlap,
             "fingerprint": fingerprint,
             "mesh": _mesh_geometry(mesh),
+            "det8": bool(cfg.det8),
         },
         original_len=n,
     )
@@ -156,7 +170,13 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
         raise ValueError("not an LM container")
     c = header.config
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
-    mesh = _reconstruct_mesh(c.get("mesh"), mesh)
+    if c.get("det8") and not cfg.det8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, det8=True)
+    if not c.get("det8"):
+        # float CDFs are mesh-dependent: decode must replay the encode mesh
+        mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
     fp = lm_fingerprint(cfg, params, header.prob_bits)
     if fp != c["fingerprint"]:

@@ -41,7 +41,7 @@ __all__ = [
 def _step_cdf(cfg: LMConfig, params, cache, prev, prob_bits: int):
     """One lock-step model step: prev tokens [B] -> (cdf [B, V+1], cache)."""
     logits, cache = forward(cfg, params, prev[:, None], cache)
-    freq = quantize_logits(logits[:, 0, :], prob_bits)
+    freq = quantize_logits(logits[:, 0, :], prob_bits, det=cfg.det8)
     return cdf_from_freq(freq), cache
 
 
@@ -163,7 +163,7 @@ def _reprime_cdf(cfg: LMConfig, params, kept_tokens, prob_bits: int):
     b = kept_tokens.shape[0]
     cache = init_cache(cfg, b)
     logits, cache = forward(cfg, params, kept_tokens, cache, prefill=True)
-    freq = quantize_logits(logits[:, -1, :], prob_bits)
+    freq = quantize_logits(logits[:, -1, :], prob_bits, det=cfg.det8)
     return cdf_from_freq(freq), cache
 
 

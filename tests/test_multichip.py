@@ -82,6 +82,49 @@ def test_lm_distributed_driver_with_mesh():
     assert lm_decompress_distributed(c, mesh=mesh) == data
 
 
+@pytest.mark.parametrize("model_par", [2, 4])
+def test_det8_logits_bit_identical_across_meshes(model_par):
+    """cfg.det8: every order-sensitive reduction runs in int32, so the
+    logits bits cannot depend on mesh geometry (SURVEY §2.5 hard part #6 —
+    the guarantee the float path explicitly does NOT make above)."""
+    mesh, _, _ = _setup(model_par)
+    cfg = tiny_config(vocab=61, n_heads=4, n_kv_heads=2, max_seq=32, det8=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sharded = shard_params(mesh, params)
+    b = 8
+    toks = jnp.asarray(np.random.default_rng(2).integers(0, cfg.vocab, (b, 4)))
+    toks_d = jax.device_put(toks, NamedSharding(mesh, P("data", None)))
+    logits_ref, _ = jax.jit(forward, static_argnums=0)(cfg, params, toks, init_cache(cfg, b))
+    logits_m, _ = jax.jit(forward, static_argnums=0)(cfg, sharded, toks_d, init_cache(cfg, b))
+    a = np.asarray(logits_ref).view(np.uint8)
+    c = np.asarray(logits_m).view(np.uint8)
+    assert (a == c).all(), "det8 logits bits moved across mesh geometries"
+
+
+def test_det8_container_topology_free():
+    """A det8 container carries the guarantee end-to-end: encode on one
+    topology, decode on another, bytes identical either way — and the
+    container BYTES themselves do not depend on the encode mesh."""
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+
+    data = (b"topology-invariant integer reductions " * 40)[:1400]
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    c_nomesh = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256,
+                                 lanes=4, det8=True)
+    c_mesh = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256,
+                               lanes=4, mesh=mesh, det8=True)
+    from lac_tpu.stream.container import read_container
+
+    # identical payloads regardless of encode mesh (headers differ only in
+    # the recorded — now advisory — mesh geometry)
+    _, blocks_a = read_container(c_nomesh)
+    _, blocks_b = read_container(c_mesh)
+    assert [b.payload for b in blocks_a] == [b.payload for b in blocks_b]
+    # meshless encode -> meshed decode, and meshed encode -> meshless decode
+    assert lm_decompress_bytes(c_nomesh, mesh=mesh) == data
+    assert lm_decompress_bytes(c_mesh) == data
+
+
 def test_tp_logits_close_to_unsharded():
     mesh, cfg, params = _setup(2)
     sharded = shard_params(mesh, params)
