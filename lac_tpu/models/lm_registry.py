@@ -42,6 +42,13 @@ PRESETS = {
         # whole cache), so 6x fewer KV heads is ~6x the coding ceiling for
         # a small ratio cost — the serving-style tradeoff, applied to coding
     ),
+    "byte-16l": lambda: LMConfig(          # ~67M-param byte LM: the ratio
+        vocab=256, d_model=512, n_layers=16, n_heads=8, n_kv_heads=8,
+        d_ff=2048, max_seq=1024, dtype=jnp.bfloat16,
+        # flagship scale-up of byte-12l (2.4x params, trained at seq 1024
+        # so the usable coding window doubles — the two ratio levers the
+        # byte-12l ablations left on the table)
+    ),
     "byte-6l": lambda: LMConfig(           # ~6M-param byte LM: small enough
         vocab=256, d_model=256, n_layers=6, n_heads=4, n_kv_heads=4,
         d_ff=1024, max_seq=1024, dtype=jnp.bfloat16,   # to ship trained
