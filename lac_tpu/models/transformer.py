@@ -36,7 +36,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.detmath import det_exp, det_gelu_tanh, det_rsqrt, det_silu
+from ..ops.detmath import (
+    ceil_log2,
+    det_exp,
+    det_gelu_tanh,
+    det_rsqrt,
+    det_silu,
+    int_sum_pow2,
+)
 
 __all__ = [
     "LMConfig",
@@ -285,10 +292,6 @@ def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def _ceil_log2(n: int) -> int:
-    return max(0, int(n - 1).bit_length())
-
-
 # Scale discipline for everything below (measured, scratch/det8_prim_probe*):
 # XLA's algebraic simplifier canonicalizes scalar-literal constants out of
 # broadcast multiply chains — (x*c)*t and (m*c1)*(m*c2) re-associate
@@ -340,9 +343,7 @@ def _det_softmax(scores: jax.Array) -> jax.Array:
     entries arrive as -inf and contribute exactly zero)."""
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = det_exp(scores - m)
-    sb = 30 - _ceil_log2(scores.shape[-1])  # sum <= 2^sb * n < 2^31
-    ei = jnp.round(e * f32(2.0**sb)).astype(jnp.int32)
-    tot = jnp.sum(ei, axis=-1, keepdims=True)
+    ei, tot, _ = int_sum_pow2(e)
     return ei.astype(f32) / tot.astype(f32)
 
 
@@ -353,7 +354,7 @@ def _det_mean_sq(x: jax.Array) -> jax.Array:
     s = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), f32(1e-30))
     q = jnp.round((x / s) * f32(32767.0)).astype(jnp.int32)
     sq = q * q  # <= 2^30
-    shift = max(12, _ceil_log2(d) - 1)  # sum(sq>>shift) and sum(sq&mask) fit int32
+    shift = max(12, ceil_log2(d) - 1)  # sum(sq>>shift) and sum(sq&mask) fit int32
     cc = 1.0 / (32767.0 * 32767.0 * d)  # static dequant constant, folded once
     hi = jnp.sum(sq >> shift, axis=-1, keepdims=True).astype(f32) * f32(float(1 << shift) * cc)
     lo = jnp.sum(sq & ((1 << shift) - 1), axis=-1, keepdims=True).astype(f32) * f32(cc)

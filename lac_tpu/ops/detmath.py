@@ -27,9 +27,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["det_exp", "det_rsqrt", "det_silu", "det_gelu_tanh"]
+__all__ = [
+    "det_exp", "det_exp_np", "det_rsqrt", "det_silu", "det_gelu_tanh",
+    "ceil_log2", "int_sum_pow2",
+]
 
 f32 = jnp.float32
+
+
+def ceil_log2(n: int) -> int:
+    """Static ceil(log2(n)) for overflow sizing (0 for n <= 1)."""
+    return max(0, int(n - 1).bit_length())
+
+
+def int_sum_pow2(p: jax.Array) -> tuple[jax.Array, jax.Array, int]:
+    """The one integer-denominator rule shared by the attention softmax and
+    the CDF quantizer: values p in [0, 1] along the last axis become
+    ``pi = round(p * 2^sb)`` (int32) with sb sized so ``sum(pi)`` cannot
+    overflow int32. Returns (pi, keepdims int32 sum, sb). Integer addition
+    is associative, so the sum's bits cannot depend on reduction tiling."""
+    sb = 30 - ceil_log2(p.shape[-1])
+    pi = jnp.round(p * f32(2.0**sb)).astype(jnp.int32)
+    return pi, jnp.sum(pi, axis=-1, keepdims=True), sb
 
 _LOG2E = 1.4426950408889634
 # Taylor coefficients of 2^f = sum (ln 2)^k / k! * f^k, k = 1..7
@@ -57,6 +76,32 @@ def det_exp(x: jax.Array) -> jax.Array:
     two_n = jax.lax.bitcast_convert_type((ni + 127) << 23, f32)
     # below 2^-126 the true value underflows anyway; pin it to exactly 0
     return jnp.where(n < -126.0, f32(0.0), p * two_n)
+
+
+def det_exp_np(x):
+    """Host (NumPy) spec mirror of ``det_exp``, bit-identical to the jitted
+    CPU computation (cross-checked in tests/test_quantize.py): XLA contracts
+    the Horner ``p * f + c`` steps into FMAs (measured: plain NumPy mul+add
+    diverges by 1 ulp on ~4% of elements), so the mirror emulates FMA with
+    an exact float64 product and a single rounding. (Double rounding through
+    f64 can in principle differ from a true FMA at 2^-29-rare tie cases;
+    measured zero over 2M samples — this is a spec cross-check, not a
+    production path.)"""
+    import numpy as np
+
+    def fma32(a, b, c):
+        return (a.astype(np.float64) * b + c).astype(np.float32)
+
+    y = (x.astype(np.float32) * np.float32(_LOG2E)).astype(np.float32)
+    n = np.floor(y)
+    f = (y - n).astype(np.float32)
+    p = np.full_like(f, np.float32(_EXP2_C[-1]))
+    for c in _EXP2_C[-2::-1]:
+        p = fma32(p, f, np.float64(np.float32(c)))
+    p = fma32(p, f, np.float64(1.0))
+    ni = np.clip(n, -126.0, 0.0).astype(np.int32)
+    two_n = ((ni + 127) << 23).view(np.float32)
+    return np.where(n < -126.0, np.float32(0.0), (p * two_n).astype(np.float32))
 
 
 def det_rsqrt(x: jax.Array) -> jax.Array:

@@ -69,23 +69,36 @@ def rescale_cdf(cdf, denom: int):
     return out
 
 
-def quantize_logits_np(logits: np.ndarray, prob_bits: int) -> np.ndarray:
+def quantize_logits_np(logits: np.ndarray, prob_bits: int, det: bool = False) -> np.ndarray:
     """Quantize float logits ``[..., V]`` to integer frequencies ``[..., V]``
     summing exactly to ``2**prob_bits`` with every frequency >= 1.
 
     Method: stable softmax in float32, scale to ``total - V`` (reserving the
     +1 floor for every symbol), floor to int, then assign the rounding
     residual to the argmax symbol — deterministic given identical logits.
-    """
+
+    ``det=True`` mirrors the jnp det path (``detmath.det_exp_np`` + integer
+    denominator) op for op; tests cross-check the two bit-for-bit on CPU,
+    giving the det8 frequency construction a host-side spec holder like the
+    byte codecs have."""
     v = logits.shape[-1]
     total = 1 << prob_bits
     if total < 2 * v:
         raise ValueError(f"prob_bits {prob_bits} too small for vocab {v}")
     x = logits.astype(np.float32)
     x = x - x.max(axis=-1, keepdims=True)
-    p = np.exp(x)
     budget = np.float32(total - v)
-    scale = budget / p.sum(axis=-1, keepdims=True, dtype=np.float32)
+    if det:
+        from .detmath import ceil_log2, det_exp_np
+
+        p = det_exp_np(x)
+        sb = 30 - ceil_log2(v)
+        pi = np.round(p * np.float32(2.0**sb)).astype(np.int32)
+        tot = pi.sum(axis=-1, keepdims=True, dtype=np.int64)
+        scale = (budget * np.float32(2.0**sb)) / tot.astype(np.float32)
+    else:
+        p = np.exp(x)
+        scale = budget / p.sum(axis=-1, keepdims=True, dtype=np.float32)
     q = np.floor(p * scale).astype(np.int64)
     freq = q + 1
     residual = total - freq.sum(axis=-1, keepdims=True)
@@ -118,11 +131,11 @@ def quantize_logits(logits: jax.Array, prob_bits: int, det: bool = False) -> jax
     fits int32.
 
     ``det=True`` (the transformer's det8 mode) replaces the float softmax
-    denominator — the one order-sensitive reduction here — with an int32 sum
-    of round(exp * 2^sb) (sb sized so the sum cannot overflow): integer
-    addition is associative, so the resulting frequencies cannot depend on
-    how a mesh tiles the vocab reduction. All other steps are elementwise
-    float or integer already."""
+    denominator — the one order-sensitive reduction here — with the shared
+    integer-denominator rule (``detmath.int_sum_pow2``, the same helper the
+    det8 attention softmax uses): integer addition is associative, so the
+    resulting frequencies cannot depend on how a mesh tiles the vocab
+    reduction. All other steps are elementwise float or integer already."""
     v = logits.shape[-1]
     total = 1 << prob_bits
     if total < 2 * v or prob_bits > 30:
@@ -131,13 +144,11 @@ def quantize_logits(logits: jax.Array, prob_bits: int, det: bool = False) -> jax
     x = x - jnp.max(x, axis=-1, keepdims=True)
     budget = jnp.float32(total - v)
     if det:
-        from .detmath import det_exp
+        from .detmath import det_exp, int_sum_pow2
 
         p = det_exp(x)
-        sb = 30 - max(0, int(v - 1).bit_length())
-        pi = jnp.round(p * jnp.float32(2.0**sb)).astype(jnp.int32)
-        scale = budget * jnp.float32(2.0**sb) / jnp.sum(
-            pi, axis=-1, keepdims=True).astype(jnp.float32)
+        _, tot, sb = int_sum_pow2(p)
+        scale = budget * jnp.float32(2.0**sb) / tot.astype(jnp.float32)
     else:
         p = jnp.exp(x)
         scale = budget / jnp.sum(p, axis=-1, keepdims=True)

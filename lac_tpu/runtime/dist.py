@@ -162,6 +162,7 @@ def lm_compress_distributed(
     max_seq: int | None = None,
     model=None,
     mesh=None,
+    det8: bool = False,
 ) -> bytes:
     """Multi-process LM compression (BASELINE configs #4/#5): every process
     codes its contiguous span of blocks with its local devices (optionally a
@@ -172,6 +173,7 @@ def lm_compress_distributed(
     process coded it (see lm_api.encode_lm_span)."""
     from ..models.lm_registry import resolve_lm
     from .lm_api import (
+        _cfg_for_det8,
         _mesh_geometry,
         _prepare_mesh,
         auto_prob_bits,
@@ -180,6 +182,7 @@ def lm_compress_distributed(
     from .lm_engine import lm_fingerprint
 
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
+    cfg = _cfg_for_det8(cfg, det8)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -217,6 +220,7 @@ def lm_compress_distributed(
             "overlap": overlap,
             "fingerprint": fingerprint,
             "mesh": _mesh_geometry(mesh),
+            "det8": bool(cfg.det8),
         },
         original_len=n,
     )
@@ -227,9 +231,15 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
     """Each process decodes its block span with the LM engine; output bytes
     are allgathered in order (identical result on every process). The
     container's recorded encode-mesh geometry is reconstructed per process
-    exactly as in lm_api.lm_decompress_bytes."""
+    exactly as in lm_api.lm_decompress_bytes (skipped for det8 containers,
+    whose bitstreams are topology-invariant — any local mesh works)."""
     from ..models.lm_registry import resolve_lm
-    from .lm_api import _prepare_mesh, _reconstruct_mesh, decode_lm_span
+    from .lm_api import (
+        _cfg_for_det8,
+        _prepare_mesh,
+        _reconstruct_mesh,
+        decode_lm_span,
+    )
     from .lm_engine import lm_fingerprint
 
     header, blocks = read_container(container)
@@ -237,7 +247,9 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
         raise ValueError("not an LM container")
     c = header.config
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
-    mesh = _reconstruct_mesh(c.get("mesh"), mesh)
+    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True)
+    if not c.get("det8"):
+        mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
     fp = lm_fingerprint(cfg, params, header.prob_bits)
     if fp != c["fingerprint"]:

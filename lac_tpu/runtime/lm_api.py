@@ -106,6 +106,25 @@ def _reconstruct_mesh(geom: dict | None, mesh=None):
                      devices=jax.devices()[:need])
 
 
+def _cfg_for_det8(cfg, det8: bool, decoding: bool = False):
+    """One owner for the det8 forward-mode handshake: upgrade a float cfg
+    when det8 is requested, and refuse a det8-resolved model for a non-det8
+    container at decode (the forward mode is part of the bitstream contract;
+    without this check the mismatch would only surface as a generic
+    fingerprint error)."""
+    import dataclasses
+
+    if det8 and not cfg.det8:
+        return dataclasses.replace(cfg, det8=True)
+    if decoding and not det8 and cfg.det8:
+        raise ValueError(
+            "container was encoded WITHOUT det8 but the model was resolved "
+            "with det8=True — the forward modes produce different bitstreams; "
+            "re-resolve the model without det8"
+        )
+    return cfg
+
+
 def lm_compress_bytes(
     data: bytes,
     model_ref: str = "prng:tiny:0",
@@ -125,10 +144,7 @@ def lm_compress_bytes(
     det8: run the topology-invariant integer-reduction forward — the
     bitstream stops depending on the mesh, so decode may use any topology."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
-    if det8 and not cfg.det8:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, det8=True)
+    cfg = _cfg_for_det8(cfg, det8)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -170,10 +186,7 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
         raise ValueError("not an LM container")
     c = header.config
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
-    if c.get("det8") and not cfg.det8:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, det8=True)
+    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True)
     if not c.get("det8"):
         # float CDFs are mesh-dependent: decode must replay the encode mesh
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)

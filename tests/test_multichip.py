@@ -82,13 +82,26 @@ def test_lm_distributed_driver_with_mesh():
     assert lm_decompress_distributed(c, mesh=mesh) == data
 
 
+_DET8_ARCHES = {
+    # rmsnorm + silu_glu + rope (llama family) AND layernorm + gelu +
+    # learned positions + biases (gpt2 family): every det8 branch
+    # (_det_mean, det_gelu_tanh, bias adds) gets mesh-invariance coverage
+    "llama": dict(),
+    "gpt2": dict(pos_embedding="learned", norm="layernorm", act="gelu",
+                 use_bias=True, n_kv_heads=4, tie_embeddings=True),
+}
+
+
 @pytest.mark.parametrize("model_par", [2, 4])
-def test_det8_logits_bit_identical_across_meshes(model_par):
+@pytest.mark.parametrize("arch", sorted(_DET8_ARCHES))
+def test_det8_logits_bit_identical_across_meshes(model_par, arch):
     """cfg.det8: every order-sensitive reduction runs in int32, so the
     logits bits cannot depend on mesh geometry (SURVEY §2.5 hard part #6 —
     the guarantee the float path explicitly does NOT make above)."""
     mesh, _, _ = _setup(model_par)
-    cfg = tiny_config(vocab=61, n_heads=4, n_kv_heads=2, max_seq=32, det8=True)
+    kw = dict(n_heads=4, n_kv_heads=2)
+    kw.update(_DET8_ARCHES[arch])  # arch overrides (gpt2 needs MHA kv=4)
+    cfg = tiny_config(vocab=61, max_seq=32, det8=True, **kw)
     params = init_params(cfg, jax.random.PRNGKey(0))
     sharded = shard_params(mesh, params)
     b = 8
@@ -123,6 +136,37 @@ def test_det8_container_topology_free():
     # meshless encode -> meshed decode, and meshed encode -> meshless decode
     assert lm_decompress_bytes(c_nomesh, mesh=mesh) == data
     assert lm_decompress_bytes(c_mesh) == data
+    # a det8-resolved model against a non-det8 container fails with a
+    # mode-mismatch error, not a confusing fingerprint error
+    from lac_tpu.models.lm_registry import resolve_lm
+    import dataclasses
+
+    c_float = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256,
+                                lanes=4)
+    cfg, params = resolve_lm("prng:tiny:0", None)
+    with pytest.raises(ValueError, match="WITHOUT det8"):
+        lm_decompress_bytes(
+            c_float, model=(dataclasses.replace(cfg, det8=True), params))
+
+
+def test_det8_distributed_driver():
+    """det8 flows through the multi-host LM driver: the span-driver
+    container equals the plain API's det8 container byte for byte, and
+    distributed decode accepts any topology (no encode-mesh replay)."""
+    from lac_tpu.runtime.dist import lm_compress_distributed, lm_decompress_distributed
+    from lac_tpu.runtime.lm_api import lm_compress_bytes
+    from lac_tpu.stream.container import read_container
+
+    data = (b"det8 span driver " * 90)[:1500]
+    c = lm_compress_distributed(data, model_ref="prng:tiny:0", block_tokens=256,
+                                lanes=4, det8=True)
+    header, _ = read_container(c)
+    assert header.config["det8"] is True
+    assert c == lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256,
+                                  lanes=4, det8=True)
+    assert lm_decompress_distributed(c) == data
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    assert lm_decompress_distributed(c, mesh=mesh) == data
 
 
 def test_tp_logits_close_to_unsharded():

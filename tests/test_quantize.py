@@ -70,3 +70,20 @@ class TestQuantizeLogits:
         freq = np.array([[1, 2, 3]])
         cdf = cdf_from_freq_np(freq)
         assert cdf.tolist() == [[0, 1, 3, 6]]
+
+    @pytest.mark.parametrize("v,pb", [(256, 14), (32000, 16)])
+    def test_det_np_matches_jnp_bit_for_bit(self, v, pb):
+        """The det8 frequency construction has a host-side spec holder:
+        quantize_logits_np(det=True) (detmath.det_exp_np emulates XLA's FMA
+        contraction) must reproduce the jitted det path exactly — the same
+        cross-implementation discipline the byte codecs get."""
+        import jax.numpy as jnp
+
+        from lac_tpu.ops.quantize import quantize_logits
+
+        rng = np.random.default_rng(5)
+        logits = (rng.standard_normal((4, v)) * 6).astype(np.float32)
+        a = quantize_logits_np(logits, pb, det=True)
+        b = np.asarray(quantize_logits(jnp.asarray(logits), pb, det=True))
+        assert (a == b).all()
+        assert (a >= 1).all() and (a.sum(-1) == (1 << pb)).all()
