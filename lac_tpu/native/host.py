@@ -2,7 +2,10 @@
 
 Bit-identical to the Pallas byte path (same model arithmetic, same rANS-32/16
 spec), so containers are interchangeable between host and TPU producers.
-Compiled on first use with g++ (-O3 -fopenmp) into native/build/.
+The C++ source ships inside the package (lac_tpu/native/lac_native.cpp) and
+is compiled on first use with g++ (-O3 -fopenmp); the .so is cached next to
+the source when that directory is writable (repo checkouts), else under
+~/.cache/lac_tpu (installed site-packages).
 """
 
 from __future__ import annotations
@@ -24,9 +27,28 @@ from ..stream.container import (
 
 __all__ = ["native_available", "native_compress", "native_decompress"]
 
-_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_ROOT, "native", "lac_native.cpp")
-_SO = os.path.join(_ROOT, "native", "build", "liblac_native.so")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_PKG_DIR, "lac_native.cpp")
+
+
+def _so_path() -> str:
+    build = os.path.join(_PKG_DIR, "build")
+    try:
+        os.makedirs(build, exist_ok=True)
+        probe = os.path.join(build, ".w")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+    except OSError:
+        build = os.path.join(
+            os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+            "lac_tpu",
+        )
+        os.makedirs(build, exist_ok=True)
+    return os.path.join(build, "liblac_native.so")
+
+
+_SO = _so_path()
 
 _lock = threading.Lock()
 _lib = None
