@@ -24,7 +24,7 @@ Layers (bottom-up):
 - ``parallel``— mesh/sharding rules and the multi-host driver.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 

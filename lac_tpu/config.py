@@ -76,4 +76,10 @@ def from_dict(cls, d: dict):
     """Build a config dataclass from a (container/CLI) dict, ignoring
     unknown keys — forward compatibility for old readers."""
     names = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in d.items() if k in names})
+    kw = {k: v for k, v in d.items() if k in names}
+    # engine_kwargs/containers store the window cap under ``max_seq`` (the
+    # model-context name used on the wire); map it back so LMCodingConfig
+    # round-trips from header.config
+    if cls is LMCodingConfig and "window" not in d and d.get("max_seq") is not None:
+        kw["window"] = d["max_seq"]
+    return cls(**kw)

@@ -549,6 +549,10 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     """
     x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, D]
     pos = cache["pos"]
+    if prefill and not isinstance(pos, jax.core.Tracer) and int(pos) != 0:
+        # enforce the documented precondition when the cache is concrete
+        # (inside jit, pos is a tracer and the engine call sites are audited)
+        raise ValueError("forward(prefill=True) requires an empty cache (pos==0)")
     if cfg.pos_embedding == "learned":
         s = tokens.shape[1]
         positions = pos + jnp.arange(s, dtype=jnp.int32)

@@ -48,7 +48,7 @@ def _so_path() -> str:
     return os.path.join(build, "liblac_native.so")
 
 
-_SO = _so_path()
+_SO = None  # resolved lazily in _load() so importing stays filesystem-pure
 
 _lock = threading.Lock()
 _lib = None
@@ -56,12 +56,13 @@ _tried = False
 
 
 def _load():
-    global _lib, _tried
+    global _lib, _tried, _SO
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
         try:
+            _SO = _so_path()
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 os.makedirs(os.path.dirname(_SO), exist_ok=True)
                 subprocess.run(

@@ -637,21 +637,30 @@ def _nib_update(state, m, rate):
     return jnp.where(m, toward_zero, toward_total)
 
 
+def _tree_sel(buf, c, nctx: int):
+    """Select context c's row block of a [nctx*R, B] buffer per lane via the
+    bits of c [1, B] — log2(nctx) levels of static-slice selects, no gathers
+    (XLA/Mosaic gathers cost 2.5-5 cycles/element on TPU; this is the shared
+    select primitive of every nibble-context kernel). Returns [R, B] where
+    R = buf.shape[0] // nctx."""
+    t = buf
+    rows = buf.shape[0]
+    bit = nctx >> 1
+    while bit:
+        rows //= 2
+        t = jnp.where((c & bit) != 0, t[rows : 2 * rows], t[:rows])
+        bit >>= 1
+    return t
+
+
 def _nib_tree16(buf, h):
-    """Select rows [16h, 16h+16) of a [256, B] buffer per lane via the bits
-    of h [1, B] — 4 levels of static-slice selects, no gathers."""
-    t = jnp.where((h & 8) != 0, buf[128:256], buf[0:128])
-    t = jnp.where((h & 4) != 0, t[64:128], t[0:64])
-    t = jnp.where((h & 2) != 0, t[32:64], t[0:32])
-    return jnp.where((h & 1) != 0, t[16:32], t[0:16])
+    """Rows [16h, 16h+16) of a [256, B] buffer per lane."""
+    return _tree_sel(buf, h, 16)
 
 
 def _nib_tree1(buf, h):
-    """Select row h of a [16, B] buffer per lane (same tree, one row out)."""
-    t = jnp.where((h & 8) != 0, buf[8:16], buf[0:8])
-    t = jnp.where((h & 4) != 0, t[4:8], t[0:4])
-    t = jnp.where((h & 2) != 0, t[2:4], t[0:2])
-    return jnp.where((h & 1) != 0, t[1:2], t[0:1])
+    """Row h of a [16, B] buffer per lane (same tree, one row out)."""
+    return _tree_sel(buf, h, 16)
 
 
 def _nib_sl_init(b: int) -> jnp.ndarray:
@@ -690,11 +699,8 @@ def _nibp_table_init(b: int, contexts: int) -> jnp.ndarray:
 
 
 def _nibp_tree8(buf, h):
-    """Select packed rows [8h, 8h+8) of a [128, B] buffer per lane."""
-    t = jnp.where((h & 8) != 0, buf[64:128], buf[0:64])
-    t = jnp.where((h & 4) != 0, t[32:64], t[0:32])
-    t = jnp.where((h & 2) != 0, t[16:32], t[0:16])
-    return jnp.where((h & 1) != 0, t[8:16], t[0:8])
+    """Packed rows [8h, 8h+8) of a [128, B] buffer per lane."""
+    return _tree_sel(buf, h, 16)
 
 
 def _nibp_eff(se, so, ke, ko):
@@ -977,6 +983,13 @@ def _nib_decode_split(decode_one, fits_one, words, lengths, t_len, rate, name):
     words = words.astype(jnp.uint32)
     b, cap = words.shape
     sub = _nib_sub_lanes(fits_one, cap)
+    if not sub and b < 256:
+        # small-batch direct calls: a cap too large for 256-lane sub-kernels
+        # may still fit at the (pow2-floored) actual lane count
+        f = 1
+        while f * 2 <= b:
+            f *= 2
+        sub = _nib_sub_lanes(fits_one, cap, floor=f)
     if not sub:
         raise ValueError(
             f"{name} decode geometry (cap={cap}, B={b}) exceeds the fused-"
@@ -1257,29 +1270,8 @@ def o1n_rans32_decode(words: jax.Array, lengths: jax.Array, t_len: int, rate: in
 _NL2 = 64  # lo contexts: h * 4 + (prev_h >> 2)
 
 
-def _nibp_tree_sel(buf, c, nctx: int):
-    """Select packed rows [8c, 8c+8) of an [8*nctx, B] buffer per lane via
-    the bits of c [1, B] — log2(nctx) levels of static-slice selects."""
-    t = buf
-    rows = buf.shape[0]
-    bit = nctx >> 1
-    while bit:
-        rows //= 2
-        t = jnp.where((c & bit) != 0, t[rows : 2 * rows], t[:rows])
-        bit >>= 1
-    return t
-
-
-def _row_tree_sel(buf, c, nctx: int):
-    """Select row c of an [nctx, B] buffer per lane (one row out)."""
-    t = buf
-    rows = nctx
-    bit = nctx >> 1
-    while bit:
-        rows //= 2
-        t = jnp.where((c & bit) != 0, t[rows : 2 * rows], t[:rows])
-        bit >>= 1
-    return t
+_nibp_tree_sel = _tree_sel  # packed rows [8c, 8c+8) of an [8*nctx, B] buffer
+_row_tree_sel = _tree_sel   # row c of an [nctx, B] buffer
 
 
 def _o2n_intervals_kernel(

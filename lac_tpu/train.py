@@ -122,6 +122,10 @@ def train_byte_lm(
     eval_windows = None
     if eval_corpus is not None and eval_every:
         earr = np.frombuffer(eval_corpus, dtype=np.uint8)
+        if len(earr) < seq + 1:
+            raise ValueError(
+                f"eval_corpus too small: {len(earr)} bytes < seq+1 = {seq + 1}"
+            )
         # deterministic evenly-spaced windows over the held-out bytes
         n_win = eval_batches * batch
         stride = max(1, (len(earr) - seq - 1) // n_win)

@@ -64,6 +64,10 @@ def test_from_dict_roundtrips_container_config(tmp_path):
     assert cfg.block_tokens == 256 and cfg.lanes == 4
     bc = from_dict(ByteCodingConfig, {"model_id": "order1n", "rate": 6, "junk": 1})
     assert bc.model_id == "order1n" and bc.rate == 6
+    # the window cap is stored on the wire as max_seq; it must come back as
+    # window so re-encoding with the rebuilt config reproduces the schedule
+    lm = from_dict(LMCodingConfig, {"max_seq": 128, "overlap": 4})
+    assert lm.window == 128 and lm.overlap == 4
 
 
 def test_mesh_config_builds_mesh():
