@@ -307,3 +307,43 @@ class TestOrder1Nib:
         for lane in range(b):
             n = lengths[lane]
             assert (decoded[:n, lane] == syms[:n, lane]).all(), f"lane {lane}"
+
+
+class TestDecodeSplitGeometry:
+    """Unit tests of the shared VMEM gate / lane-splitting logic with stub
+    kernels (no Pallas): sub-kernel sizing, small-batch floor fallback, and
+    chunk boundaries."""
+
+    def test_small_batch_uses_actual_lane_count(self):
+        from lac_tpu.ops.pallas_rans import _nib_decode_split
+
+        calls = []
+
+        def decode_one(words, lengths, t_len, rate):
+            calls.append(words.shape)
+            return jnp.zeros((t_len, words.shape[0]), jnp.uint8)
+
+        # fits only at <=64 lanes: a 256-lane floor would reject this
+        fits_one = lambda cap, lanes: lanes <= 64
+        words = jnp.zeros((64, 8), jnp.uint32)
+        lengths = jnp.zeros((64,), jnp.int32)
+        out = _nib_decode_split(decode_one, fits_one, words, lengths, 16, 4, "t")
+        assert out.shape == (16, 64) and calls == [(64, 8)]
+
+    def test_lane_splitting_chunks_and_rejection(self):
+        from lac_tpu.ops.pallas_rans import _nib_decode_split
+
+        calls = []
+
+        def decode_one(words, lengths, t_len, rate):
+            calls.append(words.shape[0])
+            return jnp.zeros((t_len, words.shape[0]), jnp.uint8)
+
+        fits_one = lambda cap, lanes: lanes <= 512
+        words = jnp.zeros((1280, 8), jnp.uint32)
+        lengths = jnp.zeros((1280,), jnp.int32)
+        out = _nib_decode_split(decode_one, fits_one, words, lengths, 4, 4, "t")
+        assert out.shape == (4, 1280) and calls == [512, 512, 256]
+
+        with pytest.raises(ValueError, match="VMEM budget"):
+            _nib_decode_split(decode_one, lambda c, l: False, words, lengths, 4, 4, "t")
