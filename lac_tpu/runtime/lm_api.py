@@ -42,6 +42,10 @@ from .lm_engine import lm_decode_windowed, lm_encode_windowed, lm_fingerprint
 __all__ = [
     "lm_compress_bytes",
     "lm_decompress_bytes",
+    "lm_compress_tokens",
+    "lm_decompress_tokens",
+    "lm_compress_text",
+    "lm_decompress_text",
     "encode_lm_span",
     "decode_lm_span",
     "auto_prob_bits",
@@ -185,6 +189,10 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
     if header.model_id != "lm" or header.codec != CODEC_RANS64:
         raise ValueError("not an LM container")
     c = header.config
+    if c.get("alphabet", "bytes") != "bytes":
+        raise ValueError(
+            "container holds a token-alphabet stream; use lm_decompress_tokens"
+        )
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
     cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True)
     if not c.get("det8"):
@@ -209,6 +217,132 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
     return bytes(out)
 
 
+def _raw_dtype(vocab: int) -> np.dtype:
+    """Minimal big-endian id width for the token alphabet's raw fallback."""
+    if vocab <= 1 << 8:
+        return np.dtype(">u1")
+    if vocab <= 1 << 16:
+        return np.dtype(">u2")
+    return np.dtype(">u4")
+
+
+def lm_compress_tokens(
+    tokens,
+    model_ref: str = "prng:tiny:0",
+    block_tokens: int = 512,
+    lanes: int = 64,
+    prob_bits: int = 16,
+    overlap: int = 2,
+    max_seq: int | None = None,
+    model=None,
+    mesh=None,
+    det8: bool = False,
+) -> bytes:
+    """Compress a 1-D sequence of model token ids (the reference's actual
+    flagship interface — llama_compress.py codes the tokenizer's output
+    stream, not raw bytes). Same engine, schedule, and container as
+    lm_compress_bytes; the alphabet is the model vocabulary instead of
+    bytes, and ``original_len`` counts tokens. Raw-fallback blocks store
+    minimal-width big-endian ids, so incompressible spans cost
+    ~ceil(log2(V)/8) bytes/token, never more."""
+    cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
+    cfg = _cfg_for_det8(cfg, det8)
+    arr = np.ascontiguousarray(tokens, dtype=np.int32)
+    if arr.ndim != 1:
+        raise ValueError(f"tokens must be 1-D, got shape {arr.shape}")
+    if arr.size and (arr.min() < 0 or arr.max() >= cfg.vocab):
+        raise ValueError(
+            f"token ids must be in [0, {cfg.vocab}); got "
+            f"[{arr.min()}, {arr.max()}]"
+        )
+    prob_bits = auto_prob_bits(cfg, prob_bits)
+    params, place = _prepare_mesh(mesh, cfg, params, lanes)
+    n = arr.size
+    nblocks = max(1, -(-n // block_tokens))
+    fingerprint = lm_fingerprint(cfg, params, prob_bits)
+    blocks = [
+        BlockEntry(*t)
+        for t in encode_lm_span(
+            cfg, params, place, arr, 0, nblocks, block_tokens, lanes,
+            prob_bits, overlap,
+        )
+    ]
+    header = ContainerHeader(
+        codec=CODEC_RANS64,
+        prob_bits=prob_bits,
+        model_id="lm",
+        config={
+            "model_ref": model_ref,
+            "max_seq": cfg.max_seq,
+            "block_tokens": block_tokens,
+            "lanes": lanes,
+            "overlap": overlap,
+            "fingerprint": fingerprint,
+            "mesh": _mesh_geometry(mesh),
+            "det8": bool(cfg.det8),
+            "alphabet": "tokens",
+            "vocab": cfg.vocab,
+        },
+        original_len=n,
+    )
+    return write_container(header, blocks)
+
+
+def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
+    """Inverse of lm_compress_tokens: returns the int32 token id array."""
+    header, blocks = read_container(container)
+    if header.model_id != "lm" or header.codec != CODEC_RANS64:
+        raise ValueError("not an LM container")
+    c = header.config
+    if c.get("alphabet", "bytes") != "tokens":
+        raise ValueError(
+            "container holds a byte-alphabet stream; use lm_decompress_bytes"
+        )
+    cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
+    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True)
+    if cfg.vocab != c["vocab"]:
+        raise ValueError(f"model vocab {cfg.vocab} != container vocab {c['vocab']}")
+    if not c.get("det8"):
+        mesh = _reconstruct_mesh(c.get("mesh"), mesh)
+    params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
+    fp = lm_fingerprint(cfg, params, header.prob_bits)
+    if fp != c["fingerprint"]:
+        raise ValueError(
+            "model fingerprint mismatch: decoder weights/stack differ from the "
+            f"encoder's (got {fp}, container has {c['fingerprint']})"
+        )
+    rdt = _raw_dtype(cfg.vocab)
+    parts = decode_lm_span(
+        cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
+        c["lanes"], header.prob_bits, c["overlap"], sym_dtype=rdt,
+    )
+    out = np.concatenate(
+        [np.frombuffer(p, dtype=rdt).astype(np.int32) for p in parts]
+    ) if parts else np.zeros((0,), np.int32)
+    if out.size != header.original_len:
+        raise ValueError("decoded length mismatch")
+    return out
+
+
+def lm_compress_text(text: str, tokenizer, **kw) -> bytes:
+    """Tokenizer front-end (duck-typed: ``encode(str) -> ids``,
+    ``decode(ids) -> str`` — any HuggingFace tokenizer qualifies). Refuses
+    loudly when the tokenizer does not round-trip this text exactly
+    (normalizing tokenizers are lossy; reference llama_compress.py silently
+    inherits that) — use lm_compress_bytes for unconditional losslessness."""
+    ids = list(tokenizer.encode(text))
+    if tokenizer.decode(ids) != text:
+        raise ValueError(
+            "tokenizer round-trip is not lossless for this text; "
+            "compress the UTF-8 bytes instead (lm_compress_bytes)"
+        )
+    return lm_compress_tokens(np.asarray(ids, dtype=np.int32), **kw)
+
+
+def lm_decompress_text(container: bytes, tokenizer, **kw) -> str:
+    return tokenizer.decode([int(i) for i in lm_decompress_tokens(container, **kw)])
+
+
 def auto_prob_bits(cfg, prob_bits: int) -> int:
     """Quantization needs 2**pb >= 2*vocab (every symbol >=1 count with half
     the budget left for the distribution); auto-raise for large vocabs
@@ -227,8 +361,20 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
 
     A block's payload depends only on (weights, schedule, wave shape,
     block bytes) — not on which lanes its wave-mates occupy — so span
-    partitioning (the multi-process driver) cannot change the bitstream."""
-    arr = np.frombuffer(data, dtype=np.uint8)
+    partitioning (the multi-process driver) cannot change the bitstream.
+
+    ``data`` may also be a 1-D int array (the token-alphabet path,
+    lm_compress_tokens): symbols are model token ids; the raw fallback then
+    stores minimal-width big-endian ids (``_raw_dtype(cfg.vocab)``)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        raw_item = 1
+        raw_pack = lambda s0, ln: bytes(data[s0 : s0 + ln])
+    else:
+        arr = np.ascontiguousarray(data, dtype=np.int32)
+        rdt = _raw_dtype(cfg.vocab)
+        raw_item = rdt.itemsize
+        raw_pack = lambda s0, ln: arr[s0 : s0 + ln].astype(rdt).tobytes()
     n = len(arr)
     out: list[tuple[int, int, bytes]] = []
 
@@ -238,8 +384,8 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
             s0 = (w0 + j) * block_tokens
             length = min(block_tokens, n - s0)
             payload = words[j, : nwords[j]].astype(">u4").tobytes()
-            if len(payload) >= length and length > 0:
-                out.append((length, 0, data[s0 : s0 + length]))
+            if len(payload) >= length * raw_item and length > 0:
+                out.append((length, 0, raw_pack(s0, length)))
             else:
                 out.append((length, length, payload))
 
@@ -265,9 +411,13 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
 
 
 def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
-                   block_tokens: int, lanes: int, prob_bits: int, overlap: int):
-    """Decode container blocks [start, end); returns their byte payloads in
-    block order (same wave pipeline as the encoder)."""
+                   block_tokens: int, lanes: int, prob_bits: int, overlap: int,
+                   sym_dtype=np.uint8):
+    """Decode container blocks [start, end); returns their packed symbol
+    payloads in block order (same wave pipeline as the encoder).
+    ``sym_dtype``: how decoded symbols pack into the returned bytes — uint8
+    for the byte alphabet, ``_raw_dtype(vocab)`` for the token alphabet
+    (must match the encoder's raw-fallback packing)."""
     cap = encode_capacity(block_tokens)
     parts: list[bytes] = [b""] * (end - start)
 
@@ -278,7 +428,7 @@ def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
             if blk.token_count == 0 and blk.raw_len > 0:
                 parts[w0 + j - start] = blk.payload
             else:
-                parts[w0 + j - start] = syms[j, : blk.token_count].astype(np.uint8).tobytes()
+                parts[w0 + j - start] = syms[j, : blk.token_count].astype(sym_dtype).tobytes()
 
     pending = None
     for w0 in range(start, end, lanes):
