@@ -144,9 +144,24 @@ def _cmd_train(args) -> int:
 
     corpus = open(args.file, "rb").read()
     cfg = PRESETS[args.preset]()
+    init = None
+    if args.init:
+        from .train import load_checkpoint
+
+        icfg, init = load_checkpoint(args.init)
+        # the checkpoint's max_seq may be capped below the preset's; all
+        # other architecture fields must match for the params to fit
+        import dataclasses as _dc
+
+        if _dc.replace(icfg, max_seq=cfg.max_seq) != cfg:
+            raise SystemExit(
+                f"--init checkpoint architecture does not match preset "
+                f"'{args.preset}'"
+            )
     params, losses = train_byte_lm(
         cfg, corpus, steps=args.steps, batch=args.batch, seq=args.seq,
         lr=args.lr, seed=args.seed, log_every=max(1, args.steps // 20),
+        init=init,
     )
     # RoPE positions beyond the training sequence length degrade (measured
     # 0.98 b/B at 1-1.5x train seq, 2.77 beyond, vs 0.84 in-distribution);
@@ -226,6 +241,9 @@ def main(argv=None) -> int:
     t.add_argument("--seq", type=int, default=256)
     t.add_argument("--lr", type=float, default=3e-4)
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--init", default=None, metavar="CKPT",
+                   help="warm-start from an existing checkpoint "
+                        "(continuation/fine-tune; preset must match)")
     t.set_defaults(fn=_cmd_train)
 
     b = sub.add_parser("bench", help="round-trip benchmark on FILE")

@@ -62,8 +62,13 @@ def train_byte_lm(
     eval_batches: int = 8,
     save_best_path: str | None = None,
     save_max_seq: int | None = None,
+    init: dict | None = None,
 ):
     """Train from scratch on ``corpus``; returns (params, losses).
+
+    ``init``: warm-start params (e.g. from ``load_checkpoint``) instead of a
+    fresh init — continuation/fine-tune runs; shapes must match ``cfg``. The
+    optimizer state starts fresh (the schedule re-warms over this run).
 
     Optional held-out tracking: with ``eval_corpus``/``eval_every`` set, the
     mean causal loss on deterministic held-out windows is computed every
@@ -82,7 +87,7 @@ def train_byte_lm(
         raise ValueError("byte LM needs vocab >= 256")
     if seq + 1 > cfg.max_seq:
         raise ValueError("seq+1 exceeds model context")
-    params = init_params(cfg, jax.random.PRNGKey(seed))
+    params = init if init is not None else init_params(cfg, jax.random.PRNGKey(seed))
     warmup = min(warmup, max(1, steps // 10))
     sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, steps, lr * 0.1)
     opt = optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=0.01)

@@ -93,3 +93,20 @@ class TestShippedCheckpoint:
         assert lm_decompress_bytes(c) == data
         bpb = 8 * len(c) / len(data)
         assert bpb < 3.0, f"trained model should beat order0 (~4.7): {bpb}"
+
+
+def test_warm_start_continuation(tmp_path, trained):
+    """init= warm-starts from an existing checkpoint: the continuation run
+    starts near the donor's loss, not from scratch."""
+    cfg, params, losses = trained
+    p = tmp_path / "donor.npz"
+    save_checkpoint(str(p), cfg, params)
+    _, donor = load_checkpoint(str(p))
+    _, cont_losses = train_byte_lm(
+        cfg, _corpus(), steps=10, batch=16, seq=32, lr=1e-4, init=donor,
+        log_every=1,
+    )
+    # a fresh init starts around ln(256) = 5.5 nats; the warm start must
+    # begin close to where the donor run ended
+    assert cont_losses[0] < losses[0] * 0.6
+    assert cont_losses[0] < losses[-1] * 1.5
