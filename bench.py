@@ -142,10 +142,22 @@ def main() -> int:
     # flagship ratio demo: trained checkpoint on held-out bytes through the
     # full container API (windowed blocks), bit-exact round-trip enforced
     lm_trained = {}
-    ckpt = "/root/repo/checkpoints/byte12l-pysrc.npz"
     import os
 
-    if os.path.exists(ckpt):
+    # flagship ratio checkpoint: prefer the largest trained model present
+    # (byte-16l: 67M params, window 1024; falls back to byte-12l)
+    ckpt = next(
+        (
+            c
+            for c in (
+                "/root/repo/checkpoints/byte16l-pysrc.npz",
+                "/root/repo/checkpoints/byte12l-pysrc.npz",
+            )
+            if os.path.exists(c)
+        ),
+        None,
+    )
+    if ckpt is not None:
         import gzip
 
         files = sorted(glob.glob("/usr/lib/python3.11/**/*.py", recursive=True))
@@ -165,7 +177,7 @@ def main() -> int:
             "gzip9_same_split_bpb": round(
                 8 * len(gzip.compress(hdata, 9)) / len(hdata), 4
             ),
-            "lm_trained_ckpt": "byte12l-pysrc.npz",
+            "lm_trained_ckpt": os.path.basename(ckpt),
         }
 
     enc_mbs, dec_mbs = n_mb / te, n_mb / td
