@@ -324,26 +324,36 @@ _DUAL_K = 1.0 / (32512.0 * 127.0)  # dequant constant of a dual16 x q8 dot
 
 def _dual_einsum(eq: str, hi, lo, q8) -> jax.Array:
     """The two int8 contractions of a dual-int8 operand, recombined in f32
-    with the static dequant constant folded in (f32 conversion of a
-    deterministic int32 is itself deterministic)."""
+    as ``dhi * 256 + dlo`` — the product is a power-of-two scaling (EXACT in
+    f32), so the expression is one correctly-rounded add whose bits cannot
+    depend on whether the backend contracts it into an FMA. (The previous
+    ``dhi*c1 + dlo*c2`` form with non-pow2 constants was measured to move
+    bits BETWEEN SHAPES on the CPU backend: FMA contraction of the first
+    product is vectorization-dependent — the third XLA hazard, found by the
+    chunked-encode equality tests.) Callers fold the _DUAL_K dequant
+    constant into their terminal tensor-scale multiply, the measured-safe
+    ``x * (tensor * const)`` pattern (scale discipline note above)."""
     dhi = jnp.einsum(eq, hi, q8, preferred_element_type=jnp.int32)
     dlo = jnp.einsum(eq, lo, q8, preferred_element_type=jnp.int32)
-    return dhi.astype(f32) * f32(256.0 * _DUAL_K) + dlo.astype(f32) * f32(_DUAL_K)
+    return dhi.astype(f32) * f32(256.0) + dlo.astype(f32)
 
 
 def _det_dot8(x: jax.Array, w: jax.Array) -> jax.Array:
     """x [..., K] @ w [K, N] -> f32 [..., N] with integer accumulation."""
     hi, lo, sx = _dual16(x.astype(f32))
     w8, sw = _q8(w.astype(f32), axis=0)  # sw [1, N]
-    return _dual_einsum("...k,kn->...n", hi, lo, w8) * (sx * sw)
+    return _dual_einsum("...k,kn->...n", hi, lo, w8) * (sx * (sw * f32(_DUAL_K)))
 
 
-def _det_softmax(scores: jax.Array) -> jax.Array:
+def _det_softmax(scores: jax.Array, cap: int | None = None) -> jax.Array:
     """Softmax over the last axis with an integer denominator (masked
-    entries arrive as -inf and contribute exactly zero)."""
+    entries arrive as -inf and contribute exactly zero). ``cap`` pins the
+    quantization exponent to a fixed axis capacity so different score-axis
+    lengths over the same valid set give the same bits (chunked vs serial
+    stepping — see int_sum_pow2)."""
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = det_exp(scores - m)
-    ei, tot, _ = int_sum_pow2(e)
+    ei, tot, _ = int_sum_pow2(e, cap)
     return ei.astype(f32) / tot.astype(f32)
 
 
@@ -356,9 +366,12 @@ def _det_mean_sq(x: jax.Array) -> jax.Array:
     sq = q * q  # <= 2^30
     shift = max(12, ceil_log2(d) - 1)  # sum(sq>>shift) and sum(sq&mask) fit int32
     cc = 1.0 / (32767.0 * 32767.0 * d)  # static dequant constant, folded once
-    hi = jnp.sum(sq >> shift, axis=-1, keepdims=True).astype(f32) * f32(float(1 << shift) * cc)
-    lo = jnp.sum(sq & ((1 << shift) - 1), axis=-1, keepdims=True).astype(f32) * f32(cc)
-    return (hi + lo) * (s * s)
+    hi = jnp.sum(sq >> shift, axis=-1, keepdims=True).astype(f32)
+    lo = jnp.sum(sq & ((1 << shift) - 1), axis=-1, keepdims=True).astype(f32)
+    # pow2 combine (exact product -> FMA-invariant add), then one terminal
+    # multiply with the constant inside the tensor operand (scale discipline)
+    t = hi * f32(float(1 << shift)) + lo
+    return t * ((s * s) * f32(cc))
 
 
 def _det_mean(x: jax.Array) -> jax.Array:
@@ -377,19 +390,67 @@ def _det_scores(eq: str, qg: jax.Array, kv: jax.Array) -> jax.Array:
     dots = _dual_einsum(eq, hi, lo, k8)
     sq_t = jnp.transpose(sq, (0, 2, 3, 1, 4))                          # [b,k,r,s,1]
     sk_t = jnp.transpose(sk[..., 0], (0, 2, 1))[:, :, None, None, :]   # [b,k,1,1,j]
-    return dots * sq_t * sk_t
+    return dots * sq_t * (sk_t * f32(_DUAL_K))
+
+
+def _det_v8(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-ROW int8 quantization of V: one scale per (b, j, k) over d.
+    Row-local, so a position's quantized V is the same whether the row sits
+    in the fresh block or in the KV cache — the property that makes chunked
+    encode bit-identical to serial decode (runtime.lm_engine)."""
+    vf = v.astype(f32)
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1, keepdims=True), f32(1e-30))
+    v8 = jnp.round((vf / sv) * f32(127.0)).astype(jnp.int8)
+    return v8, sv
+
+
+def _fold_v_scales(probs: jax.Array, sv: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fold V's per-row scales into the probabilities BEFORE their dual-int8
+    quantization (probs [b,k,r,s,j] * sv [b,j,k,1] -> dual16 over j). The
+    contraction's per-j dequant factor thereby cancels exactly, leaving only
+    probs' own row scale — which depends on the VALUE SET of the row, not on
+    which buffer (cache vs fresh) supplies each j."""
+    sv_t = jnp.transpose(sv[..., 0], (0, 2, 1))[:, :, None, None, :]  # [b,k,1,1,j]
+    return _dual16(probs * sv_t)
 
 
 def _det_attn_out(eq: str, probs: jax.Array, v: jax.Array) -> jax.Array:
-    """probs [b,k,r,s,j] (dual-int8 rows over j) x v [b,j,k,d] (int8 COLUMNS
-    over the contraction axis j, so the scale stays factorable) -> f32
-    [b,s,k,r,d]."""
-    hi, lo, sp = _dual16(probs)
-    v8, sv = _q8(v.astype(f32), axis=1)
+    """probs [b,k,r,s,j] x v [b,j,k,d] -> f32 [b,s,k,r,d] with integer
+    accumulation; V quantized per row (_det_v8), its scales folded into
+    probs (_fold_v_scales) so every per-term dequant is j-invariant."""
+    v8, sv = _det_v8(v)
+    hi, lo, sp = _fold_v_scales(probs, sv)
     out = _dual_einsum(eq, hi, lo, v8)
-    sp_t = jnp.transpose(sp, (0, 3, 1, 2, 4))   # [b,s,k,r,1]
-    sv_t = sv[:, :, :, None, :]                 # [b,1,k,1,d]
-    return out * sp_t * sv_t
+    return out * (jnp.transpose(sp, (0, 3, 1, 2, 4)) * f32(_DUAL_K))  # [b,s,k,r,1]
+
+
+def _det_attn_out_cached(probs: jax.Array, cv: jax.Array, v: jax.Array) -> jax.Array:
+    """Cache-route attention output: probs [b,k,r,s,W+s] over the
+    concatenated [cache | fresh block] score axis, cv [b,W,k,d], v
+    [b,s,k,d] -> f32 [b,s,k,r,d].
+
+    Bit-identical to ``_det_attn_out`` on a physical concat of [cv | v]
+    WITHOUT materializing it: probs are quantized jointly (one row scale
+    over the full axis), then the int32 contraction splits associatively
+    into a cache einsum plus a fresh einsum whose partial sums are added in
+    int32 — integer addition is associative, so the split cannot move bits.
+    This is what lets the engine encode s-token chunks against the graph
+    the decoder steps serially (same positions -> same bits)."""
+    w = cv.shape[1]
+    v8c, svc = _det_v8(cv)
+    v8f, svf = _det_v8(v)
+    hi, lo, sp = _fold_v_scales(probs, jnp.concatenate([svc, svf], axis=1))
+    i32 = jnp.int32
+    dhi = (
+        jnp.einsum("bkrsw,bwkd->bskrd", hi[..., :w], v8c, preferred_element_type=i32)
+        + jnp.einsum("bkrsj,bjkd->bskrd", hi[..., w:], v8f, preferred_element_type=i32)
+    )
+    dlo = (
+        jnp.einsum("bkrsw,bwkd->bskrd", lo[..., :w], v8c, preferred_element_type=i32)
+        + jnp.einsum("bkrsj,bjkd->bskrd", lo[..., w:], v8f, preferred_element_type=i32)
+    )
+    out = dhi.astype(f32) * f32(256.0) + dlo.astype(f32)  # pow2: FMA-invariant
+    return out * (jnp.transpose(sp, (0, 3, 1, 2, 4)) * f32(_DUAL_K))
 
 
 def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool):
@@ -471,13 +532,15 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
         w_ids = jnp.arange(ck.shape[1], dtype=jnp.int32)[None, None, None, None, :]
         sc = jnp.where(w_ids < pos, sc, f32(-jnp.inf))
         if cfg.det8:
-            probs = _det_softmax(jnp.concatenate([sc, sf], axis=-1))
-            pc = probs[..., : ck.shape[1]]
-            pf = probs[..., ck.shape[1] :]
-            out = (
-                _det_attn_out("bkrsw,bwkd->bskrd", pc, cv)
-                + _det_attn_out("bkrsj,bjkd->bskrd", pf, v)
-            ).astype(cfg.dtype)
+            # cap=2*W pins the softmax quantization exponent across score-axis
+            # lengths (W+s for any s <= W), and the cached attn-out splits the
+            # int32 contraction associatively — together these make an s-token
+            # chunk bit-identical to s serial steps at the same positions, the
+            # contract behind the engine's chunked det8 encode
+            probs = _det_softmax(
+                jnp.concatenate([sc, sf], axis=-1), cap=2 * ck.shape[1]
+            )
+            out = _det_attn_out_cached(probs, cv, v).astype(cfg.dtype)
         else:
             probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
             pc = probs[..., : ck.shape[1]].astype(cfg.dtype)

@@ -40,13 +40,23 @@ def ceil_log2(n: int) -> int:
     return max(0, int(n - 1).bit_length())
 
 
-def int_sum_pow2(p: jax.Array) -> tuple[jax.Array, jax.Array, int]:
+def int_sum_pow2(p: jax.Array, cap: int | None = None) -> tuple[jax.Array, jax.Array, int]:
     """The one integer-denominator rule shared by the attention softmax and
     the CDF quantizer: values p in [0, 1] along the last axis become
     ``pi = round(p * 2^sb)`` (int32) with sb sized so ``sum(pi)`` cannot
     overflow int32. Returns (pi, keepdims int32 sum, sb). Integer addition
-    is associative, so the sum's bits cannot depend on reduction tiling."""
-    sb = 30 - ceil_log2(p.shape[-1])
+    is associative, so the sum's bits cannot depend on reduction tiling.
+
+    ``cap`` (static, >= axis length) pins sb to a fixed axis-capacity so
+    graphs that reduce DIFFERENT axis lengths over the same logical value
+    set stay bit-identical — the det8 attention softmax passes 2*W (cache
+    width W) so a chunked s-token score row and the serial 1-token row of
+    the same position quantize with the same sb (chunked encode vs serial
+    decode, runtime.lm_engine)."""
+    n = cap if cap is not None else p.shape[-1]
+    if n < p.shape[-1]:
+        raise ValueError(f"int_sum_pow2 cap {cap} < axis length {p.shape[-1]}")
+    sb = 30 - ceil_log2(n)
     pi = jnp.round(p * f32(2.0**sb)).astype(jnp.int32)
     return pi, jnp.sum(pi, axis=-1, keepdims=True), sb
 

@@ -65,6 +65,64 @@ def _encode_intervals(cfg: LMConfig, params, tokens, lengths, prob_bits: int):
     return lo.T, f.T
 
 
+# --------------------------------------------------------------------------
+# Chunked det8 encode: the serial stepping above exists because decode is
+# inherently token-serial and the FLOAT forward's bits depend on the XLA
+# schedule, so encode must replay decode's exact graph (module docstring).
+# The det8 forward removes that constraint: every order-sensitive reduction
+# is int32 (associative) and every quantization scale is row-local, so an
+# s-token chunk through the cache-route attention produces bit-identical
+# logits to s serial steps at the same positions (transformer._det_softmax
+# cap / _det_attn_out_cached). Encode therefore runs CHUNK tokens per
+# forward — MXU-batched like a prefill — while decode steps serially, and
+# the CDFs still match bit for bit. Chunk size bounds the [B, H, C, W+C]
+# score/probs intermediates; override with LAC_DET_ENCODE_CHUNK.
+# --------------------------------------------------------------------------
+
+_DET_ENCODE_CHUNK = 128
+
+
+def _det_chunk() -> int:
+    import os
+
+    return int(os.environ.get("LAC_DET_ENCODE_CHUNK", _DET_ENCODE_CHUNK))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _chunk_intervals(cfg: LMConfig, params, cache, prev, tokens_seg, prob_bits: int):
+    """One chunked encode step: feed [prev | tokens_seg[:-1]] through the
+    cache-route forward, collect every position's (cdf_lo, freq) at once."""
+    inp = jnp.concatenate([prev[:, None], tokens_seg[:, :-1]], axis=1)
+    logits, cache = forward(cfg, params, inp, cache)
+    freq = quantize_logits(logits, prob_bits, det=True)
+    lo, f = gather_intervals(cdf_from_freq(freq), tokens_seg)
+    return cache, tokens_seg[:, -1], lo.astype(jnp.int32), f.astype(jnp.int32)
+
+
+def _seg_intervals_chunked(cfg: LMConfig, params, cache, prev, seg_toks, prob_bits: int):
+    """Drive _chunk_intervals over a segment in fixed-size chunks (python
+    loop over static shapes: one compile per (chunk, tail) shape)."""
+    steps = seg_toks.shape[1]
+    chunk = min(_det_chunk(), steps)
+    los, fs = [], []
+    for i in range(0, steps, chunk):
+        sub = seg_toks[:, i : min(i + chunk, steps)]
+        cache, prev, lo, f = _chunk_intervals(cfg, params, cache, prev, sub, prob_bits)
+        los.append(lo)
+        fs.append(f)
+    return cache, prev, jnp.concatenate(los, axis=1), jnp.concatenate(fs, axis=1)
+
+
+def _encode_intervals_det(cfg: LMConfig, params, tokens, prob_bits: int):
+    """det8 single-window interval collection (chunked; same cache width and
+    therefore the same softmax cap as _decode_scan's serial graph)."""
+    b = tokens.shape[0]
+    cache = init_cache(cfg, b, -(-tokens.shape[1] // 128) * 128)
+    prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    _, _, lo, f = _seg_intervals_chunked(cfg, params, cache, prev0, tokens, prob_bits)
+    return lo, f
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _decode_scan(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int):
     b = words.shape[0]
@@ -94,7 +152,10 @@ def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray, pr
         raise ValueError(f"block tokens {tokens.shape[1]} > context {cfg.max_seq}")
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
-    lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
+    if cfg.det8:
+        lo, f = _encode_intervals_det(cfg, params, tokens, prob_bits)
+    else:
+        lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
     return _encode_rans(lo, f, lengths, prob_bits, tokens.shape[1] + 2)
 
 
@@ -177,7 +238,10 @@ def lm_encode_windowed(
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     b, t_len = tokens.shape
     if t_len <= cfg.max_seq:
-        lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
+        if cfg.det8:
+            lo, f = _encode_intervals_det(cfg, params, tokens, prob_bits)
+        else:
+            lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
         return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
     segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
     cache = init_cache(cfg, b)
@@ -196,7 +260,12 @@ def lm_encode_windowed(
             if steps == 0:
                 continue
         seg_toks = lax.dynamic_slice(tokens, (0, t0), (b, steps))
-        cache, prev, lo, f = _seg_intervals(cfg, params, cache, prev, seg_toks, prob_bits, steps)
+        if cfg.det8:
+            cache, prev, lo, f = _seg_intervals_chunked(
+                cfg, params, cache, prev, seg_toks, prob_bits)
+        else:
+            cache, prev, lo, f = _seg_intervals(
+                cfg, params, cache, prev, seg_toks, prob_bits, steps)
         los.append(lo)
         fs.append(f)
     lo = jnp.concatenate(los, axis=1)

@@ -1,0 +1,153 @@
+"""Chunked det8 encode == serial stepping, bit for bit.
+
+The float LM path must encode with the decoder's exact serial graph (same
+schedule -> same float bits). The det8 forward removes that constraint by
+construction — all order-sensitive reductions are int32 and every
+quantization scale is row-local — so the engine encodes CHUNK tokens per
+forward (runtime.lm_engine._seg_intervals_chunked) while decode still steps
+one token at a time. These tests pin the contract:
+
+- an s-token cache-route forward produces bit-identical logits to s serial
+  steps at the same positions (transformer._det_softmax cap=2W +
+  _det_attn_out_cached associative split);
+- the engine's chunked interval collection equals the serial scan for every
+  chunk size, including chunk=1 and a non-dividing tail;
+- the public API round-trips det8 containers whose encode ran chunked,
+  windowed (reprime boundaries) and not.
+
+Reference capability: llama_compress.py:24-39 (the reference encodes
+token-serially in both directions; this is the TPU-native upgrade the
+float path cannot have).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lac_tpu.models.transformer import forward, init_cache, init_params, tiny_config
+from lac_tpu.runtime import lm_engine as E
+
+
+def _mk(seed=0, **kw):
+    cfg = tiny_config(vocab=61, n_heads=4, n_kv_heads=2, max_seq=32, det8=True, **kw)
+    params = init_params(cfg, jax.random.PRNGKey(seed))
+    return cfg, params
+
+
+_fwd = jax.jit(forward, static_argnums=(0,))
+
+
+def test_chunk_forward_logits_match_serial():
+    cfg, params = _mk()
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab, (3, 24)).astype(np.int32))
+    logits_c, _ = _fwd(cfg, params, toks, init_cache(cfg, 3, 32))
+    cache = init_cache(cfg, 3, 32)
+    rows = []
+    for t in range(24):
+        lg, cache = _fwd(cfg, params, toks[:, t : t + 1], cache)
+        rows.append(np.asarray(lg[:, 0]))
+    serial = np.stack(rows, axis=1)
+    assert (np.asarray(logits_c) == serial).all(), (
+        "det8 chunked forward bits != serial stepping"
+    )
+
+
+def test_chunk_forward_resumes_mid_cache():
+    """Chunk boundaries may fall anywhere: a chunk starting at pos>0 attends
+    to real cache rows AND fresh rows; its logits must still match serial."""
+    cfg, params = _mk(seed=3)
+    rng = np.random.default_rng(5)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab, (2, 20)).astype(np.int32))
+    cache = init_cache(cfg, 2, 32)
+    la, cache = _fwd(cfg, params, toks[:, :7], cache)
+    lb, cache = _fwd(cfg, params, toks[:, 7:], cache)
+    chunked = np.concatenate([np.asarray(la), np.asarray(lb)], axis=1)
+    cache = init_cache(cfg, 2, 32)
+    rows = []
+    for t in range(20):
+        lg, cache = _fwd(cfg, params, toks[:, t : t + 1], cache)
+        rows.append(np.asarray(lg[:, 0]))
+    assert (chunked == np.stack(rows, axis=1)).all()
+
+
+@pytest.mark.parametrize("chunk", [1, 5, 8, 64])
+def test_engine_intervals_chunked_match_serial(chunk, monkeypatch):
+    monkeypatch.setenv("LAC_DET_ENCODE_CHUNK", str(chunk))
+    cfg, params = _mk(seed=1)
+    rng = np.random.default_rng(2)
+    b, t, pb = 4, 24, 12
+    toks = jnp.asarray(rng.integers(0, cfg.vocab, (b, t)).astype(np.int32))
+    lens = jnp.full((b,), t, dtype=jnp.int32)
+    lo_s, f_s = E._encode_intervals(cfg, params, toks, lens, pb)
+    lo_c, f_c = E._encode_intervals_det(cfg, params, toks, pb)
+    assert (np.asarray(lo_s) == np.asarray(lo_c)).all()
+    assert (np.asarray(f_s) == np.asarray(f_c)).all()
+
+
+def test_windowed_encode_chunked_matches_serial_segments(monkeypatch):
+    """Full windowed interval stream: chunked segments (with reprime
+    boundaries and a ragged tail) == the serial segment scan. Compares the
+    (cdf_lo, freq) interval arrays — the model-side product; the rANS stage
+    downstream is identical machinery either way (and the API round-trip
+    test covers it end to end)."""
+    monkeypatch.setenv("LAC_DET_ENCODE_CHUNK", "8")
+    cfg, params = _mk(seed=2)
+    rng = np.random.default_rng(7)
+    b, t, pb = 3, 83, 12  # > max_seq -> reprimes; 83 leaves ragged chunks
+    toks = np.zeros((b, t), dtype=np.int32)
+    lens = np.array([83, 60, 41], dtype=np.int32)
+    for j, n in enumerate(lens):
+        toks[j, :n] = rng.integers(0, cfg.vocab, n)
+    toks_j = jnp.asarray(toks)
+    from lac_tpu.ops.quantize import gather_intervals
+
+    def run(serial: bool):
+        segs, keep = E.window_schedule(t, cfg.max_seq, 2)
+        cache = init_cache(cfg, b)
+        prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+        los, fs = [], []
+        for t0, steps, reprime in segs:
+            if reprime:
+                kept = toks_j[:, t0 - keep : t0]
+                cdf, cache = E._reprime_cdf(cfg, params, kept, pb)
+                lo0, f0 = gather_intervals(cdf, toks_j[:, t0])
+                los.append(np.asarray(lo0, np.int32)[:, None])
+                fs.append(np.asarray(f0, np.int32)[:, None])
+                prev = toks_j[:, t0]
+                t0, steps = t0 + 1, steps - 1
+                if steps == 0:
+                    continue
+            seg = toks_j[:, t0 : t0 + steps]
+            if serial:
+                cache, prev, lo, f = E._seg_intervals(
+                    cfg, params, cache, prev, seg, pb, steps)
+            else:
+                cache, prev, lo, f = E._seg_intervals_chunked(
+                    cfg, params, cache, prev, seg, pb)
+            los.append(np.asarray(lo))
+            fs.append(np.asarray(f))
+        return np.concatenate(los, axis=1), np.concatenate(fs, axis=1)
+
+    lo_s, f_s = run(serial=True)
+    lo_c, f_c = run(serial=False)
+    assert (lo_s == lo_c).all()
+    assert (f_s == f_c).all()
+
+
+def test_det8_chunked_api_roundtrip(monkeypatch):
+    """Public API: chunked det8 encode -> serial decode, bytes equal, both
+    windowed (block > context) and single-window."""
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+
+    monkeypatch.setenv("LAC_DET_ENCODE_CHUNK", "16")
+    data = bytes(
+        np.random.default_rng(11).integers(32, 90, 1500, dtype=np.uint8)
+    ) + b"chunked det8 encode " * 40
+    for block_tokens in (32, 96):
+        c = lm_compress_bytes(
+            data, model_ref="prng:tiny:0", block_tokens=block_tokens,
+            lanes=4, det8=True)
+        assert lm_decompress_bytes(c) == data
