@@ -227,11 +227,11 @@ def _norm(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
     rsqrt = det_rsqrt if cfg.det8 else jax.lax.rsqrt
     if cfg.norm == "rmsnorm":
         xf = xf * rsqrt(mean_sq(xf) + f32(cfg.norm_eps))
-        return (xf * p["scale"].astype(f32)).astype(cfg.dtype)
+        return _act(cfg, xf * p["scale"].astype(f32))
     mean = _det_mean(xf) if cfg.det8 else jnp.mean(xf, axis=-1, keepdims=True)
     xc = xf - mean
     xf = xc * rsqrt(mean_sq(xc) + f32(cfg.norm_eps))
-    return (xf * p["scale"].astype(f32) + p["bias"].astype(f32)).astype(cfg.dtype)
+    return _act(cfg, xf * p["scale"].astype(f32) + p["bias"].astype(f32))
 
 
 @functools.lru_cache(maxsize=16)
@@ -262,6 +262,8 @@ def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
         sin = jnp.sin(ang)[None, :, None, :]
     x1, x2 = x[..., :half].astype(f32), x[..., half:].astype(f32)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    if cfg.det8:
+        return _act(cfg, out)  # explicit rounding (hazard #4, see _act)
     return out.astype(x.dtype)
 
 
@@ -299,6 +301,30 @@ def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
 # scales are pure maxima (NO scalar factor inside); every static constant is
 # folded into exactly one terminal multiply (feeding a round()/add, or as
 # x*(t*c) with the scalar inside the right operand).
+
+
+def _act(cfg: LMConfig, x: jax.Array) -> jax.Array:
+    """Round an activation to the model dtype at an EXPLICIT rounding point.
+
+    Float path: a plain cast. det8: activations stay f32-TYPED and round in
+    value via ``lax.reduce_precision`` — the FOURTH measured XLA
+    shape-invariance hazard (scratch/det8_dbg4.py): TPU XLA's
+    excess-precision pass elides f32->bf16->f32 convert pairs and keeps
+    fused bf16 intermediates at f32 SHAPE-DEPENDENTLY, so a 24-token chunk
+    rounded its residual stream differently from 24 serial steps (the whole
+    forward diverged from t=0 while every det primitive compared exact in
+    isolation; bits matched under --xla_allow_excess_precision=false).
+    ``reduce_precision`` is semantically a rounding op the pass must keep,
+    which pins every det8 rounding point per-computation instead of via a
+    process-global flag. KV-cache buffers still store cfg.dtype — the cast
+    of a pre-rounded value is exact, so a position's K/V bits are identical
+    whether read back from the cache or used fresh in its own chunk."""
+    if cfg.det8:
+        if cfg.dtype != jnp.float32:
+            fi = jnp.finfo(cfg.dtype)
+            return jax.lax.reduce_precision(x.astype(f32), fi.nexp, fi.nmant)
+        return x.astype(f32)
+    return x.astype(cfg.dtype)
 
 
 def _q8(x: jax.Array, axis) -> tuple[jax.Array, jax.Array]:
@@ -473,11 +499,14 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
 
     def proj(w, bias_name, out_heads):
         if cfg.det8:
-            y = _det_dot8(x, p[w]).astype(cfg.dtype)
+            y = _det_dot8(x, p[w])
+            if cfg.use_bias:
+                y = y + p[bias_name].astype(f32)
+            y = _act(cfg, y)
         else:
             y = jnp.dot(x, p[w], preferred_element_type=f32).astype(cfg.dtype)
-        if cfg.use_bias:
-            y = y + p[bias_name]
+            if cfg.use_bias:
+                y = y + p[bias_name]
         return y.reshape(b, s, out_heads, hd)
 
     q = proj("wq", "bq", h)
@@ -513,7 +542,7 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
     if prefill:
         if cfg.det8:
             probs = _det_softmax(sf)
-            out = _det_attn_out("bkrsj,bjkd->bskrd", probs, v).astype(cfg.dtype)
+            out = _act(cfg, _det_attn_out("bkrsj,bjkd->bskrd", probs, v))
         else:
             probs = jax.nn.softmax(sf, axis=-1)
             out = jnp.einsum(
@@ -540,7 +569,7 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
             probs = _det_softmax(
                 jnp.concatenate([sc, sf], axis=-1), cap=2 * ck.shape[1]
             )
-            out = _det_attn_out_cached(probs, cv, v).astype(cfg.dtype)
+            out = _act(cfg, _det_attn_out_cached(probs, cv, v))
         else:
             probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
             pc = probs[..., : ck.shape[1]].astype(cfg.dtype)
@@ -551,28 +580,41 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
             ).astype(cfg.dtype)
     out = out.reshape(b, s, h * hd)
     if cfg.det8:
-        y = _det_dot8(out, p["wo"]).astype(cfg.dtype)
+        y = _det_dot8(out, p["wo"])
+        if cfg.use_bias:
+            y = y + p["bo"].astype(f32)
+        y = _act(cfg, y)
     else:
         y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
-    if cfg.use_bias:
-        y = y + p["bo"]
+        if cfg.use_bias:
+            y = y + p["bo"]
     return y, k, v
 
 
 def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
-    dot = _det_dot8 if cfg.det8 else (
-        lambda a, w: jnp.dot(a, w, preferred_element_type=f32))
+    if cfg.det8:
+        up = _det_dot8(x, p["w_up"])
+        if cfg.use_bias:
+            up = up + p["b_up"].astype(f32)
+        up = _act(cfg, up)
+        if cfg.act == "silu_glu":
+            gate = _det_dot8(x, p["w_gate"])  # un-rounded f32, as before
+            up = _act(cfg, det_silu(gate) * up)
+        else:
+            up = _act(cfg, det_gelu_tanh(up))
+        y = _det_dot8(up, p["w_down"])
+        if cfg.use_bias:
+            y = y + p["b_down"].astype(f32)
+        return _act(cfg, y)
+    dot = lambda a, w: jnp.dot(a, w, preferred_element_type=f32)  # noqa: E731
     up = dot(x, p["w_up"]).astype(cfg.dtype)
     if cfg.use_bias:
         up = up + p["b_up"]
-    silu = det_silu if cfg.det8 else jax.nn.silu
-    gelu = det_gelu_tanh if cfg.det8 else functools.partial(
-        jax.nn.gelu, approximate=True)
     if cfg.act == "silu_glu":
         gate = dot(x, p["w_gate"])
-        up = (silu(gate) * up.astype(f32)).astype(cfg.dtype)
+        up = (jax.nn.silu(gate) * up.astype(f32)).astype(cfg.dtype)
     else:
-        up = gelu(up.astype(f32)).astype(cfg.dtype)
+        up = jax.nn.gelu(up.astype(f32), approximate=True).astype(cfg.dtype)
     y = dot(up, p["w_down"]).astype(cfg.dtype)
     if cfg.use_bias:
         y = y + p["b_down"]
@@ -610,7 +652,7 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     scheduler the whole depth. Training passes unroll=False (rolled +
     remat is the measured-safe memory configuration).
     """
-    x = params["embed"][tokens].astype(cfg.dtype)  # [B, S, D]
+    x = _act(cfg, params["embed"][tokens])  # [B, S, D]
     pos = cache["pos"]
     if prefill and not isinstance(pos, jax.core.Tracer) and int(pos) != 0:
         # enforce the documented precondition when the cache is concrete
@@ -619,13 +661,18 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     if cfg.pos_embedding == "learned":
         s = tokens.shape[1]
         positions = pos + jnp.arange(s, dtype=jnp.int32)
-        x = x + params["pos_embed"][positions][None, :, :].astype(cfg.dtype)
+        if cfg.det8:
+            x = _act(cfg, x + params["pos_embed"][positions][None, :, :].astype(f32))
+        else:
+            x = x + params["pos_embed"][positions][None, :, :].astype(cfg.dtype)
 
     def layer_step(x, xs):
         lp, ck, cv = xs
         h, fk, fv = _attention(cfg, lp, _norm(cfg, lp["ln1"], x), ck, cv, pos, prefill)
-        x = x + h
-        x = x + _mlp(cfg, lp, _norm(cfg, lp["ln2"], x))
+        # residual adds round explicitly under det8 (hazard #4, see _act);
+        # the float path's bf16+bf16 add already rounds, cast is a no-op
+        x = _act(cfg, x + h)
+        x = _act(cfg, x + _mlp(cfg, lp, _norm(cfg, lp["ln2"], x)))
         return x, (fk, fv)
 
     body = jax.checkpoint(layer_step) if remat else layer_step
@@ -650,6 +697,9 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     # indices share one dtype even under scoped x64 (a literal 0 would
     # weakly promote to int64 there while pos is int32)
     z = jnp.zeros((), jnp.int32)
+    # under det8 fresh K/V are f32-typed but pre-rounded to cfg.dtype values
+    # (_act), so this cast is exact: cached bits == fresh bits per position
+    fk, fv = fk.astype(cache["k"].dtype), fv.astype(cache["v"].dtype)
     new_cache = {
         "k": jax.lax.dynamic_update_slice(cache["k"], fk, (z, z, pos, z, z)),
         "v": jax.lax.dynamic_update_slice(cache["v"], fv, (z, z, pos, z, z)),
