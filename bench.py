@@ -123,19 +123,20 @@ def main() -> int:
 
     cfg, params = resolve_lm("prng:byte-12l:0", max_seq=256)
     lb, lt = 256, 256
+    GROW = 128  # the engine's shipped default (lm_engine.GROW_BUCKET)
     ltoks = np.frombuffer(data[: lb * lt], dtype=np.uint8).reshape(lb, lt).astype(np.int32)
     llens = np.full((lb,), lt, np.int32)
-    lw, lnw = lm_encode(cfg, params, ltoks, llens, PB)
+    lw, lnw = lm_encode(cfg, params, ltoks, llens, PB, cache_grow=GROW)
     jnp.sum(lnw).block_until_ready(); int(jnp.sum(lnw))
     t0 = time.perf_counter()
-    lw, lnw = lm_encode(cfg, params, ltoks, llens, PB)
+    lw, lnw = lm_encode(cfg, params, ltoks, llens, PB, cache_grow=GROW)
     int(jnp.sum(lnw))
     lm_enc_tps = lb * lt / (time.perf_counter() - t0)
     lwn = np.asarray(lw)
-    ld = lm_decode(cfg, params, lwn, llens, PB, lt)
+    ld = lm_decode(cfg, params, lwn, llens, PB, lt, cache_grow=GROW)
     int(jnp.sum(ld))
     t0 = time.perf_counter()
-    ld = lm_decode(cfg, params, lwn, llens, PB, lt)
+    ld = lm_decode(cfg, params, lwn, llens, PB, lt, cache_grow=GROW)
     int(jnp.sum(ld))
     lm_dec_tps = lb * lt / (time.perf_counter() - t0)
     assert (np.asarray(ld) == ltoks).all(), "LM round-trip mismatch"

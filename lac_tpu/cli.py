@@ -36,6 +36,7 @@ def _cmd_compress(args) -> int:
             window=args.window,
             overlap=args.overlap,
             det8=args.det8,
+            cache_grow=args.cache_grow,
         )
         out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
     else:
@@ -208,6 +209,9 @@ def main(argv=None) -> int:
     c.add_argument("--lanes", type=int, default=64)
     c.add_argument("--window", type=int, default=None,
                    help="LM context window cap in tokens (default: model context)")
+    c.add_argument("--cache-grow", type=int, default=128, metavar="B",
+                   help="KV-cache growth bucket for LM coding (0 = fixed "
+                        "width; the schedule is recorded in the container)")
     c.add_argument("--overlap", type=int, default=2,
                    help="window re-prime keep fraction denominator (reference semantics)")
     c.add_argument("--det8", action="store_true",

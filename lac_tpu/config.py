@@ -43,6 +43,7 @@ class LMCodingConfig:
     window: int | None = None           # sliding context window cap in tokens
     overlap: int = 2                    # window keep fraction denominator
     det8: bool = False                  # topology-invariant integer forward
+    cache_grow: int = 128               # KV-cache growth bucket (0 = fixed)
 
     def engine_kwargs(self) -> dict:
         """Keyword mapping for runtime.lm_api.lm_compress_bytes. ``window``
@@ -56,6 +57,7 @@ class LMCodingConfig:
             "overlap": self.overlap,
             "max_seq": self.window,
             "det8": self.det8,
+            "cache_grow": self.cache_grow,
         }
 
 

@@ -163,6 +163,7 @@ def lm_compress_distributed(
     model=None,
     mesh=None,
     det8: bool = False,
+    cache_grow: int | None = None,
 ) -> bytes:
     """Multi-process LM compression (BASELINE configs #4/#5): every process
     codes its contiguous span of blocks with its local devices (optionally a
@@ -179,8 +180,10 @@ def lm_compress_distributed(
         auto_prob_bits,
         encode_lm_span,
     )
-    from .lm_engine import lm_fingerprint
+    from .lm_engine import GROW_BUCKET, lm_fingerprint
 
+    if cache_grow is None:
+        cache_grow = GROW_BUCKET
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8)
     if cfg.vocab < 256:
@@ -194,7 +197,7 @@ def lm_compress_distributed(
     mine = _with_retry(
         lambda: encode_lm_span(
             cfg, params, place, data, start, end, block_tokens, lanes,
-            prob_bits, overlap,
+            prob_bits, overlap, cache_grow=cache_grow,
         ),
         f"lm encode span [{start},{end})",
     )
@@ -221,6 +224,7 @@ def lm_compress_distributed(
             "fingerprint": fingerprint,
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
+            "cache_grow": int(cache_grow),
         },
         original_len=n,
     )
@@ -263,6 +267,7 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
         lambda: decode_lm_span(
             cfg, params, place, blocks, start, end, c["block_tokens"],
             c["lanes"], header.prob_bits, c["overlap"],
+            cache_grow=int(c.get("cache_grow", 0)),
         ),
         f"lm decode span [{start},{end})",
     )

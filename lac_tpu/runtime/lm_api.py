@@ -37,7 +37,8 @@ from ..stream.container import (
     read_container,
     write_container,
 )
-from .lm_engine import lm_decode_windowed, lm_encode_windowed, lm_fingerprint
+from .lm_engine import (GROW_BUCKET, lm_decode_windowed, lm_encode_windowed,
+                        lm_fingerprint)
 
 __all__ = [
     "lm_compress_bytes",
@@ -140,13 +141,18 @@ def lm_compress_bytes(
     model=None,
     mesh=None,
     det8: bool = False,
+    cache_grow: int = GROW_BUCKET,
 ) -> bytes:
     """model: optional pre-resolved (cfg, params) to skip re-resolution.
     mesh: optional jax.sharding.Mesh (axes ``data``, ``model``) — lanes
     shard over ``data``, weights TP-shard over ``model``; the geometry is
     recorded in the container and required again at decode (unless det8).
     det8: run the topology-invariant integer-reduction forward — the
-    bitstream stops depending on the mesh, so decode may use any topology."""
+    bitstream stops depending on the mesh, so decode may use any topology.
+    cache_grow: KV-cache growth bucket (runtime.lm_engine) — the cache
+    starts one bucket wide and grows per bucket, cutting serial attention
+    traffic ~1.4-1.9x. Recorded in the container (schedule = bitstream);
+    0 disables (legacy fixed-width graphs)."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8)
     if cfg.vocab < 256:
@@ -162,7 +168,7 @@ def lm_compress_bytes(
         BlockEntry(*t)
         for t in encode_lm_span(
             cfg, params, place, data, 0, nblocks, block_tokens, lanes,
-            prob_bits, overlap,
+            prob_bits, overlap, cache_grow=cache_grow,
         )
     ]
     header = ContainerHeader(
@@ -178,6 +184,7 @@ def lm_compress_bytes(
             "fingerprint": fingerprint,
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
+            "cache_grow": int(cache_grow),
         },
         original_len=n,
     )
@@ -208,6 +215,7 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
     parts = decode_lm_span(
         cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
         c["lanes"], header.prob_bits, c["overlap"],
+        cache_grow=int(c.get("cache_grow", 0)),
     )
     out = bytearray()
     for p in parts:
@@ -237,6 +245,7 @@ def lm_compress_tokens(
     model=None,
     mesh=None,
     det8: bool = False,
+    cache_grow: int = GROW_BUCKET,
 ) -> bytes:
     """Compress a 1-D sequence of model token ids (the reference's actual
     flagship interface — llama_compress.py codes the tokenizer's output
@@ -264,7 +273,7 @@ def lm_compress_tokens(
         BlockEntry(*t)
         for t in encode_lm_span(
             cfg, params, place, arr, 0, nblocks, block_tokens, lanes,
-            prob_bits, overlap,
+            prob_bits, overlap, cache_grow=cache_grow,
         )
     ]
     header = ContainerHeader(
@@ -282,6 +291,7 @@ def lm_compress_tokens(
             "det8": bool(cfg.det8),
             "alphabet": "tokens",
             "vocab": cfg.vocab,
+            "cache_grow": int(cache_grow),
         },
         original_len=n,
     )
@@ -315,6 +325,7 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
     parts = decode_lm_span(
         cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
         c["lanes"], header.prob_bits, c["overlap"], sym_dtype=rdt,
+        cache_grow=int(c.get("cache_grow", 0)),
     )
     out = np.concatenate(
         [np.frombuffer(p, dtype=rdt).astype(np.int32) for p in parts]
@@ -353,7 +364,8 @@ def auto_prob_bits(cfg, prob_bits: int) -> int:
 
 
 def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
-                   block_tokens: int, lanes: int, prob_bits: int, overlap: int):
+                   block_tokens: int, lanes: int, prob_bits: int, overlap: int,
+                   cache_grow: int = 0):
     """Encode blocks [start, end) of ``data`` in fixed-shape waves of
     ``lanes``; returns ``[(raw_len, token_count, payload)]`` triplets in
     block order (token_count 0 marks the raw fallback). One-wave pipeline:
@@ -400,7 +412,7 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
             lengths[j] = len(chunk)
         tokens_d, lengths_d = place(tokens, lengths)
         words_d, nwords_d = lm_encode_windowed(
-            cfg, params, tokens_d, lengths_d, prob_bits, overlap
+            cfg, params, tokens_d, lengths_d, prob_bits, overlap, cache_grow
         )
         if pending is not None:
             finish(*pending)
@@ -412,7 +424,7 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
 
 def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
                    block_tokens: int, lanes: int, prob_bits: int, overlap: int,
-                   sym_dtype=np.uint8):
+                   sym_dtype=np.uint8, cache_grow: int = 0):
     """Decode container blocks [start, end); returns their packed symbol
     payloads in block order (same wave pipeline as the encoder).
     ``sym_dtype``: how decoded symbols pack into the returned bytes — uint8
@@ -448,7 +460,8 @@ def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
         if any_coded:
             words_d, lengths_d = place(words, lengths)
             syms_d = lm_decode_windowed(
-                cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap
+                cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap,
+                cache_grow
             )
         if pending is not None:
             finish(*pending)

@@ -123,6 +123,85 @@ def _encode_intervals_det(cfg: LMConfig, params, tokens, prob_bits: int):
     return lo, f
 
 
+# --------------------------------------------------------------------------
+# Growing-cache schedule (``cache_grow`` = bucket size, 0 = legacy).
+#
+# Serial attention reads the WHOLE fixed-width cache every step (masked
+# loads still move the bytes), which is the measured per-step HBM floor at
+# coding shapes: B=256, W=256, byte-12l is ~1.2GB of bf16 K/V per step.
+# Early steps only need the prefix, so the schedule starts the cache at one
+# ``bucket`` of width and re-allocates +bucket at bucket boundaries (one
+# device copy each; total copy bytes ~= one full cache, amortized across
+# T steps). Average width over a T-step block falls from T_pad to about
+# (T_pad + bucket)/2 — a ~1.4-1.9x cut in attention traffic.
+#
+# The schedule is a pure function of (t_len, bucket), so encoder and
+# decoder replay identical computations; the bucket is recorded in the
+# container config (``cache_grow``) and absent/0 means the legacy
+# fixed-width graph — old containers decode unchanged. Works for both the
+# float serial path and the det8 chunked path (widths per segment derive
+# from the same schedule; the det8 softmax cap 2*W follows the segment's
+# cache width on both sides).
+# --------------------------------------------------------------------------
+
+GROW_BUCKET = 128
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _grow_cache(cfg: LMConfig, cache, new_w: int):
+    b = cache["k"].shape[1]
+    nk = init_cache(cfg, b, new_w)
+    z = jnp.zeros((), jnp.int32)
+    return {
+        "k": jax.lax.dynamic_update_slice(nk["k"], cache["k"], (z, z, z, z, z)),
+        "v": jax.lax.dynamic_update_slice(nk["v"], cache["v"], (z, z, z, z, z)),
+        "pos": cache["pos"],
+    }
+
+
+def _grown_segments(t_len: int, bucket: int):
+    """[(start, steps, width)] covering [0, t_len) in bucket strides."""
+    segs = []
+    for i in range(0, t_len, bucket):
+        steps = min(bucket, t_len - i)
+        segs.append((i, steps, -(-(i + steps) // bucket) * bucket))
+    return segs
+
+
+def _encode_intervals_grown(cfg: LMConfig, params, tokens, lengths, prob_bits: int, bucket: int):
+    b, t = tokens.shape
+    cache = init_cache(cfg, b, bucket)
+    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    los, fs = [], []
+    for i, steps, w in _grown_segments(t, bucket):
+        if cache["k"].shape[2] < w:
+            cache = _grow_cache(cfg, cache, w)
+        seg = tokens[:, i : i + steps]
+        if cfg.det8:
+            cache, prev, lo, f = _seg_intervals_chunked(cfg, params, cache, prev, seg, prob_bits)
+        else:
+            cache, prev, lo, f = _seg_intervals(cfg, params, cache, prev, seg, prob_bits, steps)
+        los.append(lo)
+        fs.append(f)
+    return jnp.concatenate(los, axis=1), jnp.concatenate(fs, axis=1)
+
+
+def _decode_scan_grown(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int, bucket: int):
+    b = words.shape[0]
+    cache = init_cache(cfg, b, bucket)
+    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    rstate = rans_decode_init.__wrapped__(words)
+    outs = []
+    for i, steps, w in _grown_segments(t_len, bucket):
+        if cache["k"].shape[2] < w:
+            cache = _grow_cache(cfg, cache, w)
+        cache, prev, rstate, syms = _seg_decode(
+            cfg, params, cache, prev, rstate, prob_bits, steps, jnp.int32(i), lengths
+        )
+        outs.append(syms)
+    return jnp.concatenate(outs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 5))
 def _decode_scan(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int):
     b = words.shape[0]
@@ -145,14 +224,19 @@ _encode_rans = jax.jit(_encode_scan, static_argnums=(3, 4))
 
 
 @x64
-def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray, prob_bits: int):
+def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
+              prob_bits: int, cache_grow: int = 0):
     """Encode B lanes of tokens ([B, T], T <= cfg.max_seq; model state resets
-    per lane/block). Returns (words [B, T+2] u32 decode-order, nwords [B])."""
+    per lane/block). Returns (words [B, T+2] u32 decode-order, nwords [B]).
+    ``cache_grow``: bucketed growing-cache schedule (0 = legacy fixed width;
+    must match the decoder's value — the container records it)."""
     if tokens.shape[1] > cfg.max_seq:
         raise ValueError(f"block tokens {tokens.shape[1]} > context {cfg.max_seq}")
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
-    if cfg.det8:
+    if cache_grow:
+        lo, f = _encode_intervals_grown(cfg, params, tokens, lengths, prob_bits, cache_grow)
+    elif cfg.det8:
         lo, f = _encode_intervals_det(cfg, params, tokens, prob_bits)
     else:
         lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
@@ -160,11 +244,14 @@ def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray, pr
 
 
 @x64
-def lm_decode(cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray, prob_bits: int, t_len: int):
+def lm_decode(cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
+              prob_bits: int, t_len: int, cache_grow: int = 0):
     if t_len > cfg.max_seq:
         raise ValueError(f"block tokens {t_len} > context {cfg.max_seq}")
     words = jnp.asarray(words, dtype=jnp.uint32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
+    if cache_grow:
+        return _decode_scan_grown(cfg, params, words, lengths, prob_bits, t_len, cache_grow)
     return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
 
 
@@ -231,20 +318,26 @@ def _reprime_cdf(cfg: LMConfig, params, kept_tokens, prob_bits: int):
 @x64
 def lm_encode_windowed(
     cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
-    prob_bits: int, overlap: int = 2,
+    prob_bits: int, overlap: int = 2, cache_grow: int = 0,
 ):
     """Encode lanes of arbitrary length with sliding-window re-priming."""
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     b, t_len = tokens.shape
     if t_len <= cfg.max_seq:
-        if cfg.det8:
+        if cache_grow:
+            lo, f = _encode_intervals_grown(cfg, params, tokens, lengths, prob_bits, cache_grow)
+        elif cfg.det8:
             lo, f = _encode_intervals_det(cfg, params, tokens, prob_bits)
         else:
             lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
         return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
     segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
-    cache = init_cache(cfg, b)
+    # growth applies to the FIRST window only (re-primes prefill `keep`
+    # tokens, so later segments need the full width anyway); it requires
+    # window % bucket == 0 so the grown width lands exactly on the window
+    grow = cache_grow if (cache_grow and cfg.max_seq % cache_grow == 0) else 0
+    cache = init_cache(cfg, b, grow if grow else None)
     prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
     los, fs = [], []
     for t0, steps, reprime in segs:
@@ -259,15 +352,20 @@ def lm_encode_windowed(
             t0, steps = t0 + 1, steps - 1
             if steps == 0:
                 continue
-        seg_toks = lax.dynamic_slice(tokens, (0, t0), (b, steps))
-        if cfg.det8:
-            cache, prev, lo, f = _seg_intervals_chunked(
-                cfg, params, cache, prev, seg_toks, prob_bits)
-        else:
-            cache, prev, lo, f = _seg_intervals(
-                cfg, params, cache, prev, seg_toks, prob_bits, steps)
-        los.append(lo)
-        fs.append(f)
+        first = t0 == 0
+        for i, st, w in (_grown_segments(steps, grow) if (first and grow)
+                         else [(0, steps, None)]):
+            if w is not None and cache["k"].shape[2] < w:
+                cache = _grow_cache(cfg, cache, w)
+            seg_toks = lax.dynamic_slice(tokens, (0, t0 + i), (b, st))
+            if cfg.det8:
+                cache, prev, lo, f = _seg_intervals_chunked(
+                    cfg, params, cache, prev, seg_toks, prob_bits)
+            else:
+                cache, prev, lo, f = _seg_intervals(
+                    cfg, params, cache, prev, seg_toks, prob_bits, st)
+            los.append(lo)
+            fs.append(f)
     lo = jnp.concatenate(los, axis=1)
     f = jnp.concatenate(fs, axis=1)
     return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
@@ -290,15 +388,19 @@ def _seg_decode(cfg: LMConfig, params, cache, prev, rstate, prob_bits: int, step
 @x64
 def lm_decode_windowed(
     cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
-    prob_bits: int, t_len: int, overlap: int = 2,
+    prob_bits: int, t_len: int, overlap: int = 2, cache_grow: int = 0,
 ):
     words = jnp.asarray(words, dtype=jnp.uint32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     if t_len <= cfg.max_seq:
+        if cache_grow:
+            return _decode_scan_grown(cfg, params, words, lengths, prob_bits,
+                                      t_len, cache_grow)
         return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
     b = words.shape[0]
     segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
-    cache = init_cache(cfg, b)
+    grow = cache_grow if (cache_grow and cfg.max_seq % cache_grow == 0) else 0
+    cache = init_cache(cfg, b, grow if grow else None)
     prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
     rstate = rans_decode_init.__wrapped__(words)
     out = jnp.zeros((b, 0), dtype=jnp.int32)
@@ -314,10 +416,16 @@ def lm_decode_windowed(
             t0, steps = t0 + 1, steps - 1
             if steps == 0:
                 continue
-        cache, prev, rstate, syms = _seg_decode(
-            cfg, params, cache, prev, rstate, prob_bits, steps, jnp.int32(t0), lengths
-        )
-        out = jnp.concatenate([out, syms], axis=1)
+        first = t0 == 0
+        for i, st, w in (_grown_segments(steps, grow) if (first and grow)
+                         else [(0, steps, None)]):
+            if w is not None and cache["k"].shape[2] < w:
+                cache = _grow_cache(cfg, cache, w)
+            cache, prev, rstate, syms = _seg_decode(
+                cfg, params, cache, prev, rstate, prob_bits, st,
+                jnp.int32(t0 + i), lengths
+            )
+            out = jnp.concatenate([out, syms], axis=1)
     return out
 
 
