@@ -11,6 +11,28 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# CPU tests get their OWN persistent-cache dir: the shared .jax_cache also
+# holds CPU AOT artifacts from earlier harness hosts with different CPU
+# features (the loader warns "may lead to SIGILL"; a full-suite run
+# segfaulted at a cached-graph test). A per-host-features dir keeps every
+# loaded artifact native to this machine and leaves the TPU cache alone.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+
+# The full suite compiles hundreds of executables in one process; LLVM's
+# JIT plus jax arenas accumulate >65530 memory maps (the kernel default
+# cap), after which mmap fails and XLA:CPU SEGFAULTS mid-compile (measured:
+# the suite died at the same compile-heavy test at ~56k maps and climbing;
+# single-file runs pass). Raise the cap best-effort when we have the
+# privilege; harmless otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
