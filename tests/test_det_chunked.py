@@ -151,3 +151,40 @@ def test_det8_chunked_api_roundtrip(monkeypatch):
             data, model_ref="prng:tiny:0", block_tokens=block_tokens,
             lanes=4, det8=True)
         assert lm_decompress_bytes(c) == data
+
+
+def test_det8_bf16_forward_rounds_via_reduce_precision():
+    """XLA hazard #4 regression guard (docs/DESIGN.md §6): under det8 with a
+    sub-f32 model dtype, every model-dtype rounding must be an explicit
+    ``reduce_precision`` (the excess-precision pass elides convert-pair
+    roundings SHAPE-DEPENDENTLY on TPU, which broke chunk==serial). The CPU
+    backend can't reproduce the elision, so pin the graph property instead:
+    the jaxpr carries reduce_precision ops and no bf16-typed intermediates
+    flow between layer stages (activations stay f32-typed, rounded in
+    value)."""
+    cfg, params = _mk(dtype=jnp.bfloat16)
+    cache = init_cache(cfg, 2, 16)
+    toks = jnp.zeros((2, 4), jnp.int32)
+    jaxpr = str(jax.make_jaxpr(lambda p, t, c: forward(cfg, p, t, c))(params, toks, cache))
+    assert "reduce_precision" in jaxpr
+    # the only f32->bf16 converts feed the KV-cache buffers (2 per forward:
+    # stacked fresh K and V); a rounding cast anywhere else would be elidable
+    assert jaxpr.count("convert_element_type[new_dtype=bfloat16]") <= 2
+
+
+def test_det8_bf16_chunk_matches_serial_logits():
+    """chunk==serial under bf16 activations on this backend (value-level
+    companion to the graph-property guard above)."""
+    cfg, params = _mk(seed=3, dtype=jnp.bfloat16)
+    b, t = 2, 12
+    rng = np.random.default_rng(9)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab, (b, t)).astype(np.int32))
+    cache0 = init_cache(cfg, b, 16)
+    chunk_logits, _ = _fwd(cfg, params, toks, cache0)
+    cache = init_cache(cfg, b, 16)
+    outs = []
+    for i in range(t):
+        lg, cache = _fwd(cfg, params, toks[:, i : i + 1], cache)
+        outs.append(np.asarray(lg)[:, 0])
+    serial = np.stack(outs, axis=1)
+    assert np.array_equal(np.asarray(chunk_logits), serial)
