@@ -26,6 +26,7 @@ may run on any topology (the fingerprint still certifies the stack).
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from ..coder.rans import encode_capacity
@@ -404,16 +405,18 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
     pending = None
     for w0 in range(start, end, lanes):
         nb = min(lanes, end - w0)
-        tokens = np.zeros((lanes, block_tokens), dtype=np.int32)
-        lengths = np.zeros((lanes,), dtype=np.int32)
-        for j in range(nb):
-            chunk = arr[(w0 + j) * block_tokens : (w0 + j + 1) * block_tokens]
-            tokens[j, : len(chunk)] = chunk
-            lengths[j] = len(chunk)
-        tokens_d, lengths_d = place(tokens, lengths)
-        words_d, nwords_d = lm_encode_windowed(
-            cfg, params, tokens_d, lengths_d, prob_bits, overlap, cache_grow
-        )
+        with jax.profiler.TraceAnnotation("lm/wave_assemble"):
+            tokens = np.zeros((lanes, block_tokens), dtype=np.int32)
+            lengths = np.zeros((lanes,), dtype=np.int32)
+            for j in range(nb):
+                chunk = arr[(w0 + j) * block_tokens : (w0 + j + 1) * block_tokens]
+                tokens[j, : len(chunk)] = chunk
+                lengths[j] = len(chunk)
+            tokens_d, lengths_d = place(tokens, lengths)
+        with jax.profiler.TraceAnnotation("lm/encode_dispatch"):
+            words_d, nwords_d = lm_encode_windowed(
+                cfg, params, tokens_d, lengths_d, prob_bits, overlap, cache_grow
+            )
         if pending is not None:
             finish(*pending)
         pending = (w0, nb, words_d, nwords_d)
@@ -445,24 +448,26 @@ def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
     pending = None
     for w0 in range(start, end, lanes):
         nb = min(lanes, end - w0)
-        words = np.zeros((lanes, cap), dtype=np.uint32)
-        lengths = np.zeros((lanes,), dtype=np.int32)
-        any_coded = False
-        for j in range(nb):
-            blk = blocks[w0 + j]
-            if blk.token_count == 0 and blk.raw_len > 0:
-                continue
-            w = np.frombuffer(blk.payload, dtype=">u4").astype(np.uint32)
-            words[j, : len(w)] = w
-            lengths[j] = blk.token_count
-            any_coded = True
+        with jax.profiler.TraceAnnotation("lm/wave_assemble"):
+            words = np.zeros((lanes, cap), dtype=np.uint32)
+            lengths = np.zeros((lanes,), dtype=np.int32)
+            any_coded = False
+            for j in range(nb):
+                blk = blocks[w0 + j]
+                if blk.token_count == 0 and blk.raw_len > 0:
+                    continue
+                w = np.frombuffer(blk.payload, dtype=">u4").astype(np.uint32)
+                words[j, : len(w)] = w
+                lengths[j] = blk.token_count
+                any_coded = True
         syms_d = None
         if any_coded:
-            words_d, lengths_d = place(words, lengths)
-            syms_d = lm_decode_windowed(
-                cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap,
-                cache_grow
-            )
+            with jax.profiler.TraceAnnotation("lm/decode_dispatch"):
+                words_d, lengths_d = place(words, lengths)
+                syms_d = lm_decode_windowed(
+                    cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap,
+                    cache_grow
+                )
         if pending is not None:
             finish(*pending)
         pending = (w0, nb, syms_d)
