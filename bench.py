@@ -119,11 +119,11 @@ def main() -> int:
     import dataclasses as _dc
 
     from lac_tpu.models.lm_registry import resolve_lm
+    from lac_tpu.runtime.lm_engine import GROW_BUCKET as GROW  # shipped default
     from lac_tpu.runtime.lm_engine import lm_decode, lm_encode
 
     cfg, params = resolve_lm("prng:byte-12l:0", max_seq=256)
     lb, lt = 256, 256
-    GROW = 128  # the engine's shipped default (lm_engine.GROW_BUCKET)
     ltoks = np.frombuffer(data[: lb * lt], dtype=np.uint8).reshape(lb, lt).astype(np.int32)
     llens = np.full((lb,), lt, np.int32)
     lw, lnw = lm_encode(cfg, params, ltoks, llens, PB, cache_grow=GROW)

@@ -190,7 +190,7 @@ def lm_compress_distributed(
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
     params, place = _prepare_mesh(mesh, cfg, params, lanes)
-    fingerprint = lm_fingerprint(cfg, params, prob_bits)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow)
     n = len(data)
     nblocks = max(1, -(-n // block_tokens))
     start, end = my_block_span(nblocks)
@@ -255,7 +255,7 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
     if not c.get("det8"):
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
-    fp = lm_fingerprint(cfg, params, header.prob_bits)
+    fp = lm_fingerprint(cfg, params, header.prob_bits, int(c.get("cache_grow", 0)))
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "

@@ -164,7 +164,7 @@ def lm_compress_bytes(
     nblocks = max(1, -(-n // block_tokens))
     # fingerprint computed with the coding placements so mesh-dependent
     # numerics are part of what it certifies
-    fingerprint = lm_fingerprint(cfg, params, prob_bits)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow)
     blocks = [
         BlockEntry(*t)
         for t in encode_lm_span(
@@ -207,7 +207,7 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
         # float CDFs are mesh-dependent: decode must replay the encode mesh
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
-    fp = lm_fingerprint(cfg, params, header.prob_bits)
+    fp = lm_fingerprint(cfg, params, header.prob_bits, int(c.get("cache_grow", 0)))
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "
@@ -269,7 +269,7 @@ def lm_compress_tokens(
     params, place = _prepare_mesh(mesh, cfg, params, lanes)
     n = arr.size
     nblocks = max(1, -(-n // block_tokens))
-    fingerprint = lm_fingerprint(cfg, params, prob_bits)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow)
     blocks = [
         BlockEntry(*t)
         for t in encode_lm_span(
@@ -316,7 +316,7 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
     if not c.get("det8"):
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
-    fp = lm_fingerprint(cfg, params, header.prob_bits)
+    fp = lm_fingerprint(cfg, params, header.prob_bits, int(c.get("cache_grow", 0)))
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "

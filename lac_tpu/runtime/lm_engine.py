@@ -159,8 +159,16 @@ def _grow_cache(cfg: LMConfig, cache, new_w: int):
     }
 
 
+def _check_grow(cache_grow: int) -> None:
+    if cache_grow < 0:
+        raise ValueError(f"cache_grow must be >= 0, got {cache_grow}")
+
+
 def _grown_segments(t_len: int, bucket: int):
-    """[(start, steps, width)] covering [0, t_len) in bucket strides."""
+    """[(start, steps, width)] covering [0, t_len) in bucket strides.
+    bucket=0 means no growth: one segment at width None (= current cache)."""
+    if not bucket:
+        return [(0, t_len, None)]
     segs = []
     for i in range(0, t_len, bucket):
         steps = min(bucket, t_len - i)
@@ -168,37 +176,62 @@ def _grown_segments(t_len: int, bucket: int):
     return segs
 
 
-def _encode_intervals_grown(cfg: LMConfig, params, tokens, lengths, prob_bits: int, bucket: int):
-    b, t = tokens.shape
-    cache = init_cache(cfg, b, bucket)
-    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
-    los, fs = [], []
-    for i, steps, w in _grown_segments(t, bucket):
-        if cache["k"].shape[2] < w:
+def _run_grown(cfg: LMConfig, cache, carry, t_len: int, bucket: int, step):
+    """Drive the growing-cache schedule: grow the cache to each segment's
+    width, then ``step(cache, carry, i, steps) -> (cache, carry)``.
+
+    This is the ONE owner of the grow-loop geometry for all four engine
+    paths (encode/decode x plain/windowed) — the schedule IS the bitstream,
+    so encoder/decoder copies that could drift are a corruption hazard, not
+    a style issue."""
+    for i, steps, w in _grown_segments(t_len, bucket):
+        if w is not None and cache["k"].shape[2] < w:
             cache = _grow_cache(cfg, cache, w)
-        seg = tokens[:, i : i + steps]
-        if cfg.det8:
-            cache, prev, lo, f = _seg_intervals_chunked(cfg, params, cache, prev, seg, prob_bits)
-        else:
-            cache, prev, lo, f = _seg_intervals(cfg, params, cache, prev, seg, prob_bits, steps)
+        cache, carry = step(cache, carry, i, steps)
+    return cache, carry
+
+
+def _seg_intervals_any(cfg: LMConfig, params, cache, prev, seg, prob_bits: int):
+    """One segment of interval collection — chunked under det8 (bit-identical
+    to serial there), serial scan otherwise."""
+    if cfg.det8:
+        return _seg_intervals_chunked(cfg, params, cache, prev, seg, prob_bits)
+    return _seg_intervals(cfg, params, cache, prev, seg, prob_bits, seg.shape[1])
+
+
+def _encode_intervals_grown(cfg: LMConfig, params, tokens, prob_bits: int, bucket: int):
+    b, t = tokens.shape
+    los, fs = [], []
+
+    def step(cache, prev, i, steps):
+        cache, prev, lo, f = _seg_intervals_any(
+            cfg, params, cache, prev, tokens[:, i : i + steps], prob_bits)
         los.append(lo)
         fs.append(f)
+        return cache, prev
+
+    cache = init_cache(cfg, b, bucket)
+    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    _run_grown(cfg, cache, prev, t, bucket, step)
     return jnp.concatenate(los, axis=1), jnp.concatenate(fs, axis=1)
 
 
 def _decode_scan_grown(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int, bucket: int):
     b = words.shape[0]
-    cache = init_cache(cfg, b, bucket)
-    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
-    rstate = rans_decode_init.__wrapped__(words)
     outs = []
-    for i, steps, w in _grown_segments(t_len, bucket):
-        if cache["k"].shape[2] < w:
-            cache = _grow_cache(cfg, cache, w)
+
+    def step(cache, carry, i, steps):
+        prev, rstate = carry
         cache, prev, rstate, syms = _seg_decode(
             cfg, params, cache, prev, rstate, prob_bits, steps, jnp.int32(i), lengths
         )
         outs.append(syms)
+        return cache, (prev, rstate)
+
+    cache = init_cache(cfg, b, bucket)
+    prev = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
+    rstate = rans_decode_init.__wrapped__(words)
+    _run_grown(cfg, cache, (prev, rstate), t_len, bucket, step)
     return jnp.concatenate(outs, axis=1)
 
 
@@ -230,12 +263,13 @@ def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
     per lane/block). Returns (words [B, T+2] u32 decode-order, nwords [B]).
     ``cache_grow``: bucketed growing-cache schedule (0 = legacy fixed width;
     must match the decoder's value — the container records it)."""
+    _check_grow(cache_grow)
     if tokens.shape[1] > cfg.max_seq:
         raise ValueError(f"block tokens {tokens.shape[1]} > context {cfg.max_seq}")
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     if cache_grow:
-        lo, f = _encode_intervals_grown(cfg, params, tokens, lengths, prob_bits, cache_grow)
+        lo, f = _encode_intervals_grown(cfg, params, tokens, prob_bits, cache_grow)
     elif cfg.det8:
         lo, f = _encode_intervals_det(cfg, params, tokens, prob_bits)
     else:
@@ -246,6 +280,7 @@ def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
 @x64
 def lm_decode(cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
               prob_bits: int, t_len: int, cache_grow: int = 0):
+    _check_grow(cache_grow)
     if t_len > cfg.max_seq:
         raise ValueError(f"block tokens {t_len} > context {cfg.max_seq}")
     words = jnp.asarray(words, dtype=jnp.uint32)
@@ -321,12 +356,13 @@ def lm_encode_windowed(
     prob_bits: int, overlap: int = 2, cache_grow: int = 0,
 ):
     """Encode lanes of arbitrary length with sliding-window re-priming."""
+    _check_grow(cache_grow)
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     b, t_len = tokens.shape
     if t_len <= cfg.max_seq:
         if cache_grow:
-            lo, f = _encode_intervals_grown(cfg, params, tokens, lengths, prob_bits, cache_grow)
+            lo, f = _encode_intervals_grown(cfg, params, tokens, prob_bits, cache_grow)
         elif cfg.det8:
             lo, f = _encode_intervals_det(cfg, params, tokens, prob_bits)
         else:
@@ -352,20 +388,15 @@ def lm_encode_windowed(
             t0, steps = t0 + 1, steps - 1
             if steps == 0:
                 continue
-        first = t0 == 0
-        for i, st, w in (_grown_segments(steps, grow) if (first and grow)
-                         else [(0, steps, None)]):
-            if w is not None and cache["k"].shape[2] < w:
-                cache = _grow_cache(cfg, cache, w)
-            seg_toks = lax.dynamic_slice(tokens, (0, t0 + i), (b, st))
-            if cfg.det8:
-                cache, prev, lo, f = _seg_intervals_chunked(
-                    cfg, params, cache, prev, seg_toks, prob_bits)
-            else:
-                cache, prev, lo, f = _seg_intervals(
-                    cfg, params, cache, prev, seg_toks, prob_bits, st)
+        def enc_step(cache, prev, i, st, _t0=t0):
+            seg_toks = lax.dynamic_slice(tokens, (0, _t0 + i), (b, st))
+            cache, prev, lo, f = _seg_intervals_any(
+                cfg, params, cache, prev, seg_toks, prob_bits)
             los.append(lo)
             fs.append(f)
+            return cache, prev
+        cache, prev = _run_grown(
+            cfg, cache, prev, steps, grow if t0 == 0 else 0, enc_step)
     lo = jnp.concatenate(los, axis=1)
     f = jnp.concatenate(fs, axis=1)
     return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
@@ -390,6 +421,7 @@ def lm_decode_windowed(
     cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
     prob_bits: int, t_len: int, overlap: int = 2, cache_grow: int = 0,
 ):
+    _check_grow(cache_grow)
     words = jnp.asarray(words, dtype=jnp.uint32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     if t_len <= cfg.max_seq:
@@ -416,16 +448,16 @@ def lm_decode_windowed(
             t0, steps = t0 + 1, steps - 1
             if steps == 0:
                 continue
-        first = t0 == 0
-        for i, st, w in (_grown_segments(steps, grow) if (first and grow)
-                         else [(0, steps, None)]):
-            if w is not None and cache["k"].shape[2] < w:
-                cache = _grow_cache(cfg, cache, w)
+        def dec_step(cache, carry, i, st, _t0=t0):
+            prev, rstate, out = carry
             cache, prev, rstate, syms = _seg_decode(
                 cfg, params, cache, prev, rstate, prob_bits, st,
-                jnp.int32(t0 + i), lengths
+                jnp.int32(_t0 + i), lengths
             )
-            out = jnp.concatenate([out, syms], axis=1)
+            return cache, (prev, rstate, jnp.concatenate([out, syms], axis=1))
+        cache, (prev, rstate, out) = _run_grown(
+            cfg, cache, (prev, rstate, out), steps, grow if t0 == 0 else 0,
+            dec_step)
     return out
 
 
@@ -433,14 +465,23 @@ _decode_step_jit = jax.jit(_decode_step, static_argnums=(2,))
 
 
 @x64
-def lm_fingerprint(cfg: LMConfig, params, prob_bits: int) -> int:
+def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0) -> int:
     """Determinism fingerprint stored in the container: crc of the quantized
     CDF of a fixed probe (BOS-primed first step, batch 1). A decoder whose
     stack would produce different CDFs fails this check up front instead of
-    decoding garbage (SURVEY.md §2.5 hard part #1)."""
+    decoding garbage (SURVEY.md §2.5 hard part #1).
+
+    ``cache_grow`` folds the growing-cache schedule into the crc: the
+    schedule changes the float path's bits (reduction widths differ), and a
+    decoder that does not understand the key would otherwise sail past the
+    version/fingerprint gates and mis-decode silently. cache_grow=0 keeps
+    the legacy value so old containers still validate."""
     import zlib
 
     cache = init_cache(cfg, 1)
     prev = jnp.full((1,), cfg.bos_id, dtype=jnp.int32)
     cdf, _ = jax.jit(_step_cdf, static_argnums=(0, 4))(cfg, params, cache, prev, prob_bits)
-    return zlib.crc32(np.asarray(cdf).tobytes())
+    crc = zlib.crc32(np.asarray(cdf).tobytes())
+    if cache_grow:
+        crc = zlib.crc32(f"cache_grow={cache_grow}".encode(), crc)
+    return crc

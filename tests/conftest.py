@@ -11,13 +11,29 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
-# CPU tests get their OWN persistent-cache dir: the shared .jax_cache also
-# holds CPU AOT artifacts from earlier harness hosts with different CPU
-# features (the loader warns "may lead to SIGILL"; a full-suite run
-# segfaulted at a cached-graph test). A per-host-features dir keeps every
-# loaded artifact native to this machine and leaves the TPU cache alone.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+# CPU tests get their OWN persistent-cache dir, keyed by this host's CPU
+# features: the shared .jax_cache holds CPU AOT artifacts from earlier
+# harness hosts with different features (the loader warns "may lead to
+# SIGILL"), and the harness does migrate the repo between hosts — a fixed
+# dir would re-poison itself on the next migration.
+def _cpu_cache_dir() -> str:
+    import hashlib
+
+    tag = "nocpuinfo"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return os.path.join(os.path.dirname(__file__), "..", f".jax_cache_cpu-{tag}")
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
 
 # The full suite compiles hundreds of executables in one process; LLVM's
 # JIT plus jax arenas accumulate >65530 memory maps (the kernel default

@@ -89,3 +89,36 @@ def test_api_roundtrip_default_growth_and_legacy():
     header0, _ = read_container(c0)
     assert header0.config["cache_grow"] == 0
     assert lm_decompress_bytes(c0) == data
+
+
+def test_fingerprint_covers_cache_grow():
+    """The schedule changes the float path's bits, so it must be inside the
+    fingerprint gate: a decoder that does not understand the ``cache_grow``
+    key recomputes the crc WITHOUT it and fails loudly instead of silently
+    replaying the wrong widths. cache_grow=0 keeps the legacy value so old
+    containers still validate."""
+    cfg, params = _mk()
+    f0 = E.lm_fingerprint(cfg, params, 12)
+    assert E.lm_fingerprint(cfg, params, 12, cache_grow=0) == f0
+    f128 = E.lm_fingerprint(cfg, params, 12, cache_grow=128)
+    assert f128 != f0
+    assert E.lm_fingerprint(cfg, params, 12, cache_grow=64) not in (f0, f128)
+
+    from lac_tpu.stream.container import read_container
+
+    data = b"fingerprint gates the schedule " * 30
+    kw = dict(model_ref="prng:tiny:0", block_tokens=96, lanes=4)
+    hg, _ = read_container(lm_compress_bytes(data, **kw))          # default grow
+    h0, _ = read_container(lm_compress_bytes(data, cache_grow=0, **kw))
+    assert hg.config["fingerprint"] != h0.config["fingerprint"]
+
+
+def test_cache_grow_rejects_negative():
+    cfg, params = _mk()
+    toks = np.zeros((2, 8), np.int32)
+    lens = np.full((2,), 8, np.int32)
+    with pytest.raises(ValueError, match="cache_grow"):
+        E.lm_encode(cfg, params, toks, lens, 12, cache_grow=-8)
+    with pytest.raises(ValueError, match="cache_grow"):
+        E.lm_decode_windowed(cfg, params, np.zeros((2, 10), np.uint32), lens,
+                             12, 8, cache_grow=-1)

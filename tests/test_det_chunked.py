@@ -165,11 +165,24 @@ def test_det8_bf16_forward_rounds_via_reduce_precision():
     cfg, params = _mk(dtype=jnp.bfloat16)
     cache = init_cache(cfg, 2, 16)
     toks = jnp.zeros((2, 4), jnp.int32)
-    jaxpr = str(jax.make_jaxpr(lambda p, t, c: forward(cfg, p, t, c))(params, toks, cache))
-    assert "reduce_precision" in jaxpr
-    # the only f32->bf16 converts feed the KV-cache buffers (2 per forward:
-    # stacked fresh K and V); a rounding cast anywhere else would be elidable
-    assert jaxpr.count("convert_element_type[new_dtype=bfloat16]") <= 2
+    jaxpr = jax.make_jaxpr(lambda p, t, c: forward(cfg, p, t, c))(params, toks, cache)
+
+    def prims(jx):
+        for eq in jx.eqns:
+            yield eq
+            for sub in jax.core.jaxprs_in_params(eq.params):
+                yield from prims(sub)
+
+    names = [eq.primitive.name for eq in prims(jaxpr.jaxpr)]
+    assert names.count("reduce_precision") > 0
+    # the only f32->bf16 converts feed the KV-cache buffers (stacked fresh
+    # K and V); a rounding cast anywhere else would be elidable
+    bf16_converts = [
+        eq for eq in prims(jaxpr.jaxpr)
+        if eq.primitive.name == "convert_element_type"
+        and eq.params.get("new_dtype") == jnp.bfloat16
+    ]
+    assert len(bf16_converts) == 2, [str(e) for e in bf16_converts]
 
 
 def test_det8_bf16_chunk_matches_serial_logits():
