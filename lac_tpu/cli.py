@@ -36,6 +36,7 @@ def _cmd_compress(args) -> int:
             window=args.window,
             overlap=args.overlap,
             det8=args.det8,
+            kv8=args.kv8,
             cache_grow=args.cache_grow,
         )
         out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
@@ -214,6 +215,10 @@ def main(argv=None) -> int:
                         "width; the schedule is recorded in the container)")
     c.add_argument("--overlap", type=int, default=2,
                    help="window re-prime keep fraction denominator (reference semantics)")
+    c.add_argument("--kv8", action="store_true",
+                   help="int8 KV cache: halves per-step attention HBM traffic "
+                        "(float-path speed mode; quantized attention changes "
+                        "the bitstream, recorded in the container)")
     c.add_argument("--det8", action="store_true",
                    help="topology-invariant LM forward (integer reductions): "
                         "bitstream identical on every mesh geometry")

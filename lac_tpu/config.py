@@ -43,6 +43,7 @@ class LMCodingConfig:
     window: int | None = None           # sliding context window cap in tokens
     overlap: int = 2                    # window keep fraction denominator
     det8: bool = False                  # topology-invariant integer forward
+    kv8: bool = False                   # int8 KV cache (float-path speed mode)
     cache_grow: int = 128               # KV-cache growth bucket (0 = fixed)
 
     def engine_kwargs(self) -> dict:
@@ -57,6 +58,7 @@ class LMCodingConfig:
             "overlap": self.overlap,
             "max_seq": self.window,
             "det8": self.det8,
+            "kv8": self.kv8,
             "cache_grow": self.cache_grow,
         }
 

@@ -88,6 +88,17 @@ class LMConfig:
     # (measured; tests/test_multichip.py). False = plain float forward
     # (fastest; bits then depend on mesh geometry, which the container pins).
     det8: bool = False
+    # int8 KV cache (serving-style, opt-in speed mode for the float path).
+    # Lock-step decode reads the WHOLE cache every step, so K/V bytes are
+    # the dominant per-step HBM traffic even after the growing-cache
+    # schedule (measured ~44% of the byte-12l step at B=256); storing the
+    # cache as int8 rows + one f32 scale per (layer, lane, position, head)
+    # halves that and runs the cache-route score/out contractions on the
+    # MXU's native int8 path. Changes the bitstream (quantized attention ->
+    # slightly different logits) — gated by the container fingerprint like
+    # every other forward mode. Mutually exclusive with det8 (which does its
+    # own dual-int8 quantization on the fly).
+    kv8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -208,6 +219,16 @@ def init_cache(cfg: LMConfig, batch: int, window: int | None = None) -> dict:
     byte-12l scale: 2.4GB/step at window 1024, B=256)."""
     hd, kvh = cfg.head_dim, cfg.n_kv_heads
     w = cfg.max_seq if window is None else min(window, cfg.max_seq)
+    if cfg.kv8:
+        if cfg.det8:
+            raise ValueError("kv8 and det8 are mutually exclusive forward modes")
+        return {
+            "k": jnp.zeros((cfg.n_layers, batch, w, kvh, hd), jnp.int8),
+            "ks": jnp.zeros((cfg.n_layers, batch, w, kvh, 1), f32),
+            "v": jnp.zeros((cfg.n_layers, batch, w, kvh, hd), jnp.int8),
+            "vs": jnp.zeros((cfg.n_layers, batch, w, kvh, 1), f32),
+            "pos": jnp.zeros((), jnp.int32),
+        }
     return {
         "k": jnp.zeros((cfg.n_layers, batch, w, kvh, hd), cfg.dtype),
         "v": jnp.zeros((cfg.n_layers, batch, w, kvh, hd), cfg.dtype),
@@ -553,12 +574,24 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
         # bf16 einsum inputs with f32 accumulation: materializing f32 casts
         # of the cached K/V doubles the per-step HBM traffic (measured
         # dominant); window derives from the cache shape, not cfg.max_seq
+        w_len = (ck[0] if cfg.kv8 else ck).shape[1]
         if cfg.det8:
             sc = _det_scores("bskrd,bwkd->bkrsw", qg, ck)  # qg pre-scaled above
+        elif cfg.kv8:
+            # int8 cache route: q quantized per row, int8 x int8 -> int32 on
+            # the MXU, dequant by the two row scales + 1/sqrt(hd) at the end.
+            # The whole-cache read is the per-step HBM floor; int8 halves it.
+            ck8, cks = ck
+            q8, sq = _q8(qg.astype(f32), -1)
+            sci = jnp.einsum("bskrd,bwkd->bkrsw", q8, ck8,
+                             preferred_element_type=jnp.int32)
+            sq_t = jnp.transpose(sq, (0, 2, 3, 1, 4))                        # [b,k,r,s,1]
+            sk_t = jnp.transpose(cks[..., 0], (0, 2, 1))[:, :, None, None, :]  # [b,k,1,1,w]
+            sc = sci.astype(f32) * sq_t * sk_t * (scale / f32(127.0 * 127.0))
         else:
             sc = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
             sc = sc * scale
-        w_ids = jnp.arange(ck.shape[1], dtype=jnp.int32)[None, None, None, None, :]
+        w_ids = jnp.arange(w_len, dtype=jnp.int32)[None, None, None, None, :]
         sc = jnp.where(w_ids < pos, sc, f32(-jnp.inf))
         if cfg.det8:
             # cap=2*W pins the softmax quantization exponent across score-axis
@@ -567,13 +600,28 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
             # chunk bit-identical to s serial steps at the same positions, the
             # contract behind the engine's chunked det8 encode
             probs = _det_softmax(
-                jnp.concatenate([sc, sf], axis=-1), cap=2 * ck.shape[1]
+                jnp.concatenate([sc, sf], axis=-1), cap=2 * w_len
             )
             out = _act(cfg, _det_attn_out_cached(probs, cv, v))
+        elif cfg.kv8:
+            cv8, cvs = cv
+            probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
+            # fold V's per-row scales into the cache-side probabilities, then
+            # quantize the probability rows: int8 x int8 out contraction
+            sv_t = jnp.transpose(cvs[..., 0], (0, 2, 1))[:, :, None, None, :]  # [b,k,1,1,w]
+            p8, sp = _q8(probs[..., :w_len] * sv_t, -1)
+            oci = jnp.einsum("bkrsw,bwkd->bskrd", p8, cv8,
+                             preferred_element_type=jnp.int32)
+            outc = oci.astype(f32) * (
+                jnp.transpose(sp, (0, 3, 1, 2, 4)) * f32(1.0 / (127.0 * 127.0))
+            )
+            pf = probs[..., w_len:].astype(cfg.dtype)
+            outf = jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
+            out = (outc + outf).astype(cfg.dtype)
         else:
             probs = jax.nn.softmax(jnp.concatenate([sc, sf], axis=-1), axis=-1)
-            pc = probs[..., : ck.shape[1]].astype(cfg.dtype)
-            pf = probs[..., ck.shape[1] :].astype(cfg.dtype)
+            pc = probs[..., :w_len].astype(cfg.dtype)
+            pf = probs[..., w_len:].astype(cfg.dtype)
             out = (
                 jnp.einsum("bkrsw,bwkd->bskrd", pc, cv, preferred_element_type=f32)
                 + jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
@@ -667,7 +715,11 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
             x = x + params["pos_embed"][positions][None, :, :].astype(cfg.dtype)
 
     def layer_step(x, xs):
-        lp, ck, cv = xs
+        if cfg.kv8:
+            lp, ck8, cks, cv8, cvs = xs
+            ck, cv = (ck8, cks), (cv8, cvs)
+        else:
+            lp, ck, cv = xs
         h, fk, fv = _attention(cfg, lp, _norm(cfg, lp["ln1"], x), ck, cv, pos, prefill)
         # residual adds round explicitly under det8 (hazard #4, see _act);
         # the float path's bf16+bf16 add already rounds, cast is a no-op
@@ -676,9 +728,11 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
         return x, (fk, fv)
 
     body = jax.checkpoint(layer_step) if remat else layer_step
-    x, (fk, fv) = jax.lax.scan(
-        body, x, (params["layers"], cache["k"], cache["v"]), unroll=unroll
-    )
+    if cfg.kv8:
+        xs = (params["layers"], cache["k"], cache["ks"], cache["v"], cache["vs"])
+    else:
+        xs = (params["layers"], cache["k"], cache["v"])
+    x, (fk, fv) = jax.lax.scan(body, x, xs, unroll=unroll)
     x = _norm(cfg, params["final_norm"], x)
     if cfg.tie_embeddings:
         wh = params["embed"][: cfg.vocab].T  # [D, V]
@@ -697,12 +751,27 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     # indices share one dtype even under scoped x64 (a literal 0 would
     # weakly promote to int64 there while pos is int32)
     z = jnp.zeros((), jnp.int32)
+    at = (z, z, pos, z, z)
+    if cfg.kv8:
+        # fresh K/V quantize per row at the cache write; the fresh-path
+        # scores in _attention used the unquantized rows — encoder and
+        # decoder replay the same serial graph, so the asymmetry is shared
+        fk8, fks = _q8(fk.astype(f32), -1)
+        fv8, fvs = _q8(fv.astype(f32), -1)
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(cache["k"], fk8, at),
+            "ks": jax.lax.dynamic_update_slice(cache["ks"], fks, at),
+            "v": jax.lax.dynamic_update_slice(cache["v"], fv8, at),
+            "vs": jax.lax.dynamic_update_slice(cache["vs"], fvs, at),
+            "pos": pos + jnp.int32(tokens.shape[1]),
+        }
+        return logits, new_cache
     # under det8 fresh K/V are f32-typed but pre-rounded to cfg.dtype values
     # (_act), so this cast is exact: cached bits == fresh bits per position
     fk, fv = fk.astype(cache["k"].dtype), fv.astype(cache["v"].dtype)
     new_cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], fk, (z, z, pos, z, z)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], fv, (z, z, pos, z, z)),
+        "k": jax.lax.dynamic_update_slice(cache["k"], fk, at),
+        "v": jax.lax.dynamic_update_slice(cache["v"], fv, at),
         "pos": pos + jnp.int32(tokens.shape[1]),
     }
     return logits, new_cache

@@ -66,11 +66,14 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def cache_pspecs(n_layers: int) -> dict:
+def cache_pspecs(n_layers: int, kv8: bool = False) -> dict:
     # stacked cache: k/v [L, B, W, KVH, Dh]; lanes over data, kv heads over
-    # model (n_layers kept in the signature for call-site stability)
+    # model (n_layers kept in the signature for call-site stability). kv8
+    # adds the per-row scale buffers [L, B, W, KVH, 1], sharded the same.
     del n_layers
     kv = P(None, "data", None, "model", None)
+    if kv8:
+        return {"k": kv, "ks": kv, "v": kv, "vs": kv, "pos": P()}
     return {"k": kv, "v": kv, "pos": P()}
 
 

@@ -112,22 +112,26 @@ def _reconstruct_mesh(geom: dict | None, mesh=None):
                      devices=jax.devices()[:need])
 
 
-def _cfg_for_det8(cfg, det8: bool, decoding: bool = False):
-    """One owner for the det8 forward-mode handshake: upgrade a float cfg
-    when det8 is requested, and refuse a det8-resolved model for a non-det8
-    container at decode (the forward mode is part of the bitstream contract;
-    without this check the mismatch would only surface as a generic
-    fingerprint error)."""
+def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False):
+    """One owner for the forward-mode handshake (det8 / kv8): upgrade a
+    float cfg when a mode is requested, and refuse a mode-resolved model for
+    a container encoded without it at decode (the forward mode is part of
+    the bitstream contract; without this check the mismatch would only
+    surface as a generic fingerprint error)."""
     import dataclasses
 
-    if det8 and not cfg.det8:
-        return dataclasses.replace(cfg, det8=True)
-    if decoding and not det8 and cfg.det8:
-        raise ValueError(
-            "container was encoded WITHOUT det8 but the model was resolved "
-            "with det8=True — the forward modes produce different bitstreams; "
-            "re-resolve the model without det8"
-        )
+    if det8 and kv8:
+        raise ValueError("kv8 and det8 are mutually exclusive forward modes")
+    for name, want in (("det8", det8), ("kv8", kv8)):
+        have = getattr(cfg, name)
+        if want and not have:
+            cfg = dataclasses.replace(cfg, **{name: True})
+        elif decoding and have and not want:
+            raise ValueError(
+                f"container was encoded WITHOUT {name} but the model was "
+                f"resolved with {name}=True — the forward modes produce "
+                f"different bitstreams; re-resolve the model without {name}"
+            )
     return cfg
 
 
@@ -142,6 +146,7 @@ def lm_compress_bytes(
     model=None,
     mesh=None,
     det8: bool = False,
+    kv8: bool = False,
     cache_grow: int = GROW_BUCKET,
 ) -> bytes:
     """model: optional pre-resolved (cfg, params) to skip re-resolution.
@@ -155,7 +160,7 @@ def lm_compress_bytes(
     traffic ~1.4-1.9x. Recorded in the container (schedule = bitstream);
     0 disables (legacy fixed-width graphs)."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
-    cfg = _cfg_for_det8(cfg, det8)
+    cfg = _cfg_for_det8(cfg, det8, kv8=kv8)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -185,6 +190,7 @@ def lm_compress_bytes(
             "fingerprint": fingerprint,
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
+            "kv8": bool(cfg.kv8),
             "cache_grow": int(cache_grow),
         },
         original_len=n,
@@ -202,7 +208,8 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
             "container holds a token-alphabet stream; use lm_decompress_tokens"
         )
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
-    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True)
+    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True,
+                        kv8=bool(c.get("kv8")))
     if not c.get("det8"):
         # float CDFs are mesh-dependent: decode must replay the encode mesh
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
@@ -246,6 +253,7 @@ def lm_compress_tokens(
     model=None,
     mesh=None,
     det8: bool = False,
+    kv8: bool = False,
     cache_grow: int = GROW_BUCKET,
 ) -> bytes:
     """Compress a 1-D sequence of model token ids (the reference's actual
@@ -256,7 +264,7 @@ def lm_compress_tokens(
     minimal-width big-endian ids, so incompressible spans cost
     ~ceil(log2(V)/8) bytes/token, never more."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
-    cfg = _cfg_for_det8(cfg, det8)
+    cfg = _cfg_for_det8(cfg, det8, kv8=kv8)
     arr = np.ascontiguousarray(tokens, dtype=np.int32)
     if arr.ndim != 1:
         raise ValueError(f"tokens must be 1-D, got shape {arr.shape}")
@@ -290,6 +298,7 @@ def lm_compress_tokens(
             "fingerprint": fingerprint,
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
+            "kv8": bool(cfg.kv8),
             "alphabet": "tokens",
             "vocab": cfg.vocab,
             "cache_grow": int(cache_grow),
@@ -310,7 +319,8 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
             "container holds a byte-alphabet stream; use lm_decompress_bytes"
         )
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
-    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True)
+    cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True,
+                        kv8=bool(c.get("kv8")))
     if cfg.vocab != c["vocab"]:
         raise ValueError(f"model vocab {cfg.vocab} != container vocab {c['vocab']}")
     if not c.get("det8"):

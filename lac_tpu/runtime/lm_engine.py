@@ -152,10 +152,11 @@ def _grow_cache(cfg: LMConfig, cache, new_w: int):
     b = cache["k"].shape[1]
     nk = init_cache(cfg, b, new_w)
     z = jnp.zeros((), jnp.int32)
+    # copy every buffer key (k/v, plus ks/vs under kv8) into the wider cache
     return {
-        "k": jax.lax.dynamic_update_slice(nk["k"], cache["k"], (z, z, z, z, z)),
-        "v": jax.lax.dynamic_update_slice(nk["v"], cache["v"], (z, z, z, z, z)),
-        "pos": cache["pos"],
+        key: (val if key == "pos" else jax.lax.dynamic_update_slice(
+            nk[key], val, (z,) * val.ndim))
+        for key, val in cache.items()
     }
 
 
@@ -484,4 +485,9 @@ def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0) -
     crc = zlib.crc32(np.asarray(cdf).tobytes())
     if cache_grow:
         crc = zlib.crc32(f"cache_grow={cache_grow}".encode(), crc)
+    if cfg.kv8:
+        # kv8 only alters the CACHE route, which the one-step empty-cache
+        # probe never exercises — fold the mode in explicitly so a float
+        # decoder fails loudly on a kv8 container (and vice versa)
+        crc = zlib.crc32(b"kv8", crc)
     return crc
