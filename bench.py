@@ -167,11 +167,13 @@ def main() -> int:
         from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
 
         model = resolve_lm(f"file:{ckpt}", None)
-        # shipped config: block 4096, overlap 4 (window = the checkpoint's
+        # shipped config: block 4096, overlap 8 (window = the checkpoint's
         # max_seq, capped at the TRAIN length — RoPE positions past ~1.5x it
-        # collapse, measured 2.8 b/B at 768-1023 vs 0.84 in-distribution)
+        # collapse, measured 2.8 b/B at 768-1023 vs 0.84 in-distribution;
+        # ov8 keeps 7/8 of the window at re-prime: 0.8765 vs ov4's 0.8809
+        # bpb on byte-16l, measured scratch/night_queue3.log)
         hc = lm_compress_bytes(hdata, model_ref=f"file:{ckpt}", block_tokens=4096,
-                               lanes=64, overlap=4, model=model)
+                               lanes=64, overlap=8, model=model)
         assert lm_decompress_bytes(hc, model=model) == hdata, "LM ckpt round-trip"
         lm_trained = {
             "lm_trained_heldout_bpb": round(8 * len(hc) / len(hdata), 4),
