@@ -140,6 +140,24 @@ def main() -> int:
     int(jnp.sum(ld))
     lm_dec_tps = lb * lt / (time.perf_counter() - t0)
     assert (np.asarray(ld) == ltoks).all(), "LM round-trip mismatch"
+    # kv8 (opt-in int8 KV cache): the fast LM mode — +54% encode on v5e
+    # (scratch/night_queue4.log); containers carry the flag so both sides
+    # run the identical perturbed forward and the round-trip stays exact
+    kcfg = _dc.replace(cfg, kv8=True)
+    kw, knw = lm_encode(kcfg, params, ltoks, llens, PB, cache_grow=GROW)
+    jnp.sum(knw).block_until_ready(); int(jnp.sum(knw))
+    t0 = time.perf_counter()
+    kw, knw = lm_encode(kcfg, params, ltoks, llens, PB, cache_grow=GROW)
+    int(jnp.sum(knw))
+    kv8_enc_tps = lb * lt / (time.perf_counter() - t0)
+    kwn = np.asarray(kw)
+    kd = lm_decode(kcfg, params, kwn, llens, PB, lt, cache_grow=GROW)
+    int(jnp.sum(kd))
+    t0 = time.perf_counter()
+    kd = lm_decode(kcfg, params, kwn, llens, PB, lt, cache_grow=GROW)
+    int(jnp.sum(kd))
+    kv8_dec_tps = lb * lt / (time.perf_counter() - t0)
+    assert (np.asarray(kd) == ltoks).all(), "kv8 LM round-trip mismatch"
     # flagship ratio demo: trained checkpoint on held-out bytes through the
     # full container API (windowed blocks), bit-exact round-trip enforced
     lm_trained = {}
@@ -201,6 +219,8 @@ def main() -> int:
             "block": T,
             "lm_byte12l_encode_tok_s": round(lm_enc_tps, 0),
             "lm_byte12l_decode_tok_s": round(lm_dec_tps, 0),
+            "lm_byte12l_kv8_encode_tok_s": round(kv8_enc_tps, 0),
+            "lm_byte12l_kv8_decode_tok_s": round(kv8_dec_tps, 0),
             "order1n_encode_MBps": round(mb1 / t1e, 1),
             "order1n_decode_MBps": round(mb1 / t1d, 1),
             "order1n_bits_per_byte": round(o1n_bpb, 4),

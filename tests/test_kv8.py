@@ -84,6 +84,35 @@ def test_kv8_det8_mutually_exclusive():
         init_cache(cfg, 1)
 
 
+def test_kv8_on_mesh_and_distributed_driver():
+    """kv8 under a (data, model) mesh: the 4-buffer cache shards via
+    cache_pspecs(kv8=True), the container carries both the mesh geometry
+    and the kv8 flag, and the multi-host driver plumbs it end-to-end."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from lac_tpu.parallel.mesh import make_mesh
+    from lac_tpu.runtime.dist import (
+        lm_compress_distributed,
+        lm_decompress_distributed,
+    )
+    from lac_tpu.stream.container import read_container
+
+    data = (b"int8 cache on a TP mesh " * 70)[:1500]
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    c = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=256,
+                          lanes=4, kv8=True, mesh=mesh)
+    header, _ = read_container(c)
+    assert header.config["kv8"] is True
+    assert header.config["mesh"] == {"data": 2, "model": 2}
+    assert lm_decompress_bytes(c) == data  # mesh auto-reconstructed
+
+    cd = lm_compress_distributed(data, model_ref="prng:tiny:0", block_tokens=256,
+                                 lanes=4, kv8=True, mesh=mesh)
+    hd, _ = read_container(cd)
+    assert hd.config["kv8"] is True
+    assert lm_decompress_distributed(cd, mesh=mesh) == data
+
+
 def test_kv8_quantization_stays_close_to_float():
     """Not a bit contract — a sanity bound that the int8 attention stays a
     usable predictor (logits close to the float path's)."""
