@@ -169,6 +169,7 @@ def main() -> int:
         (
             c
             for c in (
+                "/root/repo/checkpoints/byte16l-2k-pysrc.npz",
                 "/root/repo/checkpoints/byte16l-pysrc.npz",
                 "/root/repo/checkpoints/byte12l-pysrc.npz",
             )
