@@ -18,12 +18,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from lac_tpu.models.lm_registry import PRESETS
 from lac_tpu.train import load_checkpoint, train_byte_lm
 
 steps = int(os.environ.get("LAC_2K_STEPS", "700"))
 icfg, init = load_checkpoint("checkpoints/byte16l-pysrc.npz")
-cfg = dataclasses.replace(PRESETS["byte-16l"](), max_seq=2176)
+# derive the continuation config from the CHECKPOINT's own config (not the
+# preset, which could drift from the shipped weights' architecture)
+cfg = dataclasses.replace(icfg, max_seq=2176)
 corpus = open("scratch/corpus_train.bin", "rb").read()
 eval_corpus = open("scratch/corpus_eval.bin", "rb").read()
 
