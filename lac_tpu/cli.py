@@ -103,6 +103,47 @@ def _cmd_verify(args) -> int:
     return 1
 
 
+def _cmd_recover(args) -> int:
+    """Recover the good prefix of a truncated/corrupt container (reference
+    partial-decode parity, arithmetic_coding.py:331-336)."""
+    import dataclasses
+
+    from .stream.container import scan_container, write_container
+
+    data = open(args.file, "rb").read()
+    header, blocks, bad = scan_container(data)
+    if header.model_id == "lm":
+        from .runtime.lm_api import lm_decompress_prefix
+
+        out, rep = lm_decompress_prefix(data)
+    else:
+        ngood = bad[0] if bad else len(blocks)
+        good = blocks[:ngood]
+        h2 = dataclasses.replace(
+            header, original_len=sum(b.raw_len for b in good)
+        )
+        from .runtime.engine import decompress_bytes
+
+        out = decompress_bytes(write_container(h2, good))
+        rep = {
+            "ok": not bad,
+            "recovered_blocks": ngood,
+            "total_blocks": len(blocks),
+            "bad_blocks": bad,
+            "recovered_bytes": len(out),
+            "original_len": header.original_len,
+        }
+    dst = args.output or args.file + ".recovered"
+    with open(dst, "wb") as f:
+        f.write(out)
+    print(
+        f"recovered {rep['recovered_blocks']}/{rep['total_blocks']} blocks "
+        f"({rep['recovered_bytes']}/{rep['original_len']} bytes) -> {dst}"
+        + (f"; bad blocks {rep['bad_blocks']}" if rep["bad_blocks"] else "")
+    )
+    return 0 if rep["ok"] else 1
+
+
 def _cmd_bench(args) -> int:
     """Round-trip benchmark on FILE: compress, decompress, verify, report."""
     data = open(args.file, "rb").read()
@@ -240,6 +281,12 @@ def main(argv=None) -> int:
     v = sub.add_parser("verify", help="check per-block checksums of a .lac container")
     v.add_argument("file")
     v.set_defaults(fn=_cmd_verify)
+
+    r = sub.add_parser("recover",
+                       help="decode the good prefix of a truncated/corrupt container")
+    r.add_argument("file")
+    r.add_argument("-o", "--output")
+    r.set_defaults(fn=_cmd_recover)
 
     t = sub.add_parser("train", help="train a byte LM on FILE for the lm coding path")
     t.add_argument("file")

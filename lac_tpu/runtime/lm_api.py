@@ -44,6 +44,7 @@ from .lm_engine import (GROW_BUCKET, lm_decode_windowed, lm_encode_windowed,
 __all__ = [
     "lm_compress_bytes",
     "lm_decompress_bytes",
+    "lm_decompress_prefix",
     "lm_compress_tokens",
     "lm_decompress_tokens",
     "lm_compress_text",
@@ -198,11 +199,12 @@ def lm_compress_bytes(
     return write_container(header, blocks)
 
 
-def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
-    header, blocks = read_container(container)
+def _lm_decode_setup(header, model, mesh):
+    """Shared decode-side setup (byte alphabet): resolve/validate the model,
+    mesh, forward mode, and fingerprint against the container config."""
+    c = header.config
     if header.model_id != "lm" or header.codec != CODEC_RANS64:
         raise ValueError("not an LM container")
-    c = header.config
     if c.get("alphabet", "bytes") != "bytes":
         raise ValueError(
             "container holds a token-alphabet stream; use lm_decompress_tokens"
@@ -220,6 +222,13 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
             "model fingerprint mismatch: decoder weights/stack differ from the "
             f"encoder's (got {fp}, container has {c['fingerprint']})"
         )
+    return cfg, params, place
+
+
+def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
+    header, blocks = read_container(container)
+    c = header.config
+    cfg, params, place = _lm_decode_setup(header, model, mesh)
     parts = decode_lm_span(
         cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
         c["lanes"], header.prob_bits, c["overlap"],
@@ -231,6 +240,45 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
     if len(out) != header.original_len:
         raise ValueError("decoded length mismatch")
     return bytes(out)
+
+
+def lm_decompress_prefix(container: bytes, model=None, mesh=None):
+    """Recover the good PREFIX of a truncated or corrupt LM container.
+
+    Parity with the reference's partial-decode debuggability —
+    ``from_bin`` returns ``(sampler, exception, partial_output)`` on bad
+    input (reference arithmetic_coding.py:331-336) — expressed in this
+    framework's terms: blocks are independent streams with CRCs, so the
+    recoverable unit is every intact block before the first damaged one.
+
+    Returns ``(bytes, report)`` where report = {ok, recovered_blocks,
+    total_blocks, bad_blocks, recovered_bytes, original_len}. Raises only
+    when nothing is decodable (unparseable header, wrong model/fingerprint).
+    """
+    from ..stream.container import scan_container
+
+    header, blocks, bad = scan_container(container)
+    c = header.config
+    cfg, params, place = _lm_decode_setup(header, model, mesh)
+    ngood = bad[0] if bad else len(blocks)
+    out = bytearray()
+    if ngood:
+        parts = decode_lm_span(
+            cfg, params, place, blocks, 0, ngood, c["block_tokens"],
+            c["lanes"], header.prob_bits, c["overlap"],
+            cache_grow=int(c.get("cache_grow", 0)),
+        )
+        for p in parts:
+            out += p
+    report = {
+        "ok": not bad and len(out) == header.original_len,
+        "recovered_blocks": ngood,
+        "total_blocks": len(blocks),
+        "bad_blocks": bad,
+        "recovered_bytes": len(out),
+        "original_len": header.original_len,
+    }
+    return bytes(out), report
 
 
 def _raw_dtype(vocab: int) -> np.dtype:

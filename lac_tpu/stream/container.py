@@ -74,33 +74,47 @@ def scan_container(
     data: bytes,
 ) -> tuple[ContainerHeader, list[BlockEntry], list[int]]:
     """Tolerant parse: returns (header, blocks, bad_block_indices) without
-    raising on payload corruption. Block independence makes this the
-    failure-detection/recovery primitive (SURVEY.md §5): a corrupt block is
-    reported by index and every other block remains decodable."""
+    raising on payload corruption OR truncation past the header. Block
+    independence makes this the failure-detection/recovery primitive
+    (SURVEY.md §5): a corrupt/missing block is reported by index and every
+    other block remains decodable. A truncated file (download cut short,
+    partial write) yields its intact prefix blocks with the rest marked bad
+    — the capability of the reference's ``(sampler, exception, partial)``
+    debug return (arithmetic_coding.py:331-336), made a contract."""
     if data[:4] != MAGIC:
         raise ValueError("not a .lac container (bad magic)")
     version, codec, prob_bits, flags = struct.unpack_from("<BBBB", data, 4)
     if version != VERSION:
         raise ValueError(f"unsupported container version {version}")
     off = 8
-    (midlen,) = struct.unpack_from("<H", data, off)
-    off += 2
-    model_id = data[off : off + midlen].decode()
-    off += midlen
-    (cfglen,) = struct.unpack_from("<I", data, off)
-    off += 4
-    config = json.loads(data[off : off + cfglen]) if cfglen else {}
-    off += cfglen
-    original_len, n_blocks = struct.unpack_from("<QI", data, off)
-    off += 12
+    try:
+        (midlen,) = struct.unpack_from("<H", data, off)
+        off += 2
+        model_id = data[off : off + midlen].decode()
+        off += midlen
+        (cfglen,) = struct.unpack_from("<I", data, off)
+        off += 4
+        config = json.loads(data[off : off + cfglen]) if cfglen else {}
+        off += cfglen
+        original_len, n_blocks = struct.unpack_from("<QI", data, off)
+        off += 12
+    except (struct.error, UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"container header truncated/corrupt: {e}") from e
     entries = []
-    for _ in range(n_blocks):
-        raw_len, token_count, plen, crc = struct.unpack_from("<IIII", data, off)
+    for i in range(n_blocks):
+        try:
+            entries.append(struct.unpack_from("<IIII", data, off))
+        except struct.error:
+            entries.append(None)  # block table itself truncated
         off += 16
-        entries.append((raw_len, token_count, plen, crc))
     blocks = []
     bad = []
-    for i, (raw_len, token_count, plen, crc) in enumerate(entries):
+    for i, ent in enumerate(entries):
+        if ent is None:
+            bad.append(i)
+            blocks.append(BlockEntry(0, 0, b""))
+            continue
+        raw_len, token_count, plen, crc = ent
         payload = data[off : off + plen]
         off += plen
         if len(payload) != plen or zlib.crc32(payload) != crc:
