@@ -1,0 +1,71 @@
+"""Llama-2-7B capability proof on one v5e chip (VERDICT round-2 item 5;
+BASELINE config #4; reference target llama_compress.py:9).
+
+bf16 weights are ~13.5 GB against ~16 GB HBM, so the probe starts small and
+reports exactly what fits: instantiate the full 32-layer 7B architecture
+with deterministic random weights, run lock-step coding steps (the real
+engine path: forward -> quantize -> CDF -> rANS feedback), and measure
+tok/s at the largest batch that fits. Weights are initialized DIRECTLY on
+device via jit (a host-side init would need 13.5 GB of host RAM and a
+13.5 GB tunnel upload).
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from lac_tpu.models.lm_registry import PRESETS
+from lac_tpu.models.transformer import init_params
+from lac_tpu.runtime.lm_engine import lm_decode, lm_encode
+
+B = int(os.environ.get("LAC_7B_B", "4"))
+T = int(os.environ.get("LAC_7B_T", "128"))
+PB = 17
+
+cfg = PRESETS["llama2-7b"]()
+import dataclasses
+
+cfg = dataclasses.replace(cfg, max_seq=T)
+nparams = (
+    (cfg.vocab + 1) * cfg.d_model + cfg.d_model * cfg.vocab
+    + cfg.n_layers * (4 * cfg.d_model * cfg.d_model + 3 * cfg.d_model * cfg.d_ff)
+)
+print(f"llama2-7b arch: {nparams/1e9:.2f}B params, bf16 {2*nparams/2**30:.1f} GiB",
+      flush=True)
+
+t0 = time.time()
+params = jax.jit(init_params, static_argnums=0)(cfg, jax.random.PRNGKey(0))
+params = jax.block_until_ready(params)
+print(f"on-device init {time.time()-t0:.0f}s", flush=True)
+
+rng = np.random.default_rng(0)
+toks = rng.integers(0, cfg.vocab, (B, T)).astype(np.int32)
+lens = np.full((B,), T, np.int32)
+
+t0 = time.time()
+w, nw = lm_encode(cfg, params, toks, lens, PB)
+int(jnp.sum(nw))
+print(f"encode compile+run {time.time()-t0:.0f}s (B={B}, T={T})", flush=True)
+t0 = time.time()
+w, nw = lm_encode(cfg, params, toks, lens, PB)
+int(jnp.sum(nw))
+te = time.time() - t0
+print(f"encode: {B*T/te:.1f} tok/s ({te:.1f}s)", flush=True)
+
+wn = np.asarray(w)
+t0 = time.time()
+d = lm_decode(cfg, params, wn, lens, PB, T)
+int(jnp.sum(d))
+print(f"decode compile+run {time.time()-t0:.0f}s", flush=True)
+t0 = time.time()
+d = lm_decode(cfg, params, wn, lens, PB, T)
+int(jnp.sum(d))
+td = time.time() - t0
+assert (np.asarray(d) == toks).all(), "round-trip mismatch"
+print(f"decode: {B*T/td:.1f} tok/s ({td:.1f}s); round-trip exact", flush=True)

@@ -1,0 +1,39 @@
+"""LM-path large-corpus acceptance (VERDICT round-2 item 7): run N MB
+end-to-end through lm_compress_bytes/lm_decompress_bytes with the wave
+pipeline and the shipped byte-12l checkpoint; report MB/s, bpb, and
+bit-exactness. (The 100 MB acceptance run exists for order0n only —
+BASELINE.md; this is the LM-path counterpart at its own scale.)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from lac_tpu.models.lm_registry import resolve_lm
+from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+
+MB = int(os.environ.get("LAC_LM_MB", "10"))
+CKPT = "checkpoints/byte12l-pysrc.npz"
+
+data = bench.build_corpus(MB << 20)
+model = resolve_lm(f"file:{CKPT}", None)
+
+# warm the executables on a tiny slice so the timed run measures the
+# pipeline, not the one-time compile
+lm_compress_bytes(data[: 4096 * 256], model_ref=f"file:{CKPT}",
+                  block_tokens=4096, lanes=256, overlap=8, model=model)
+
+t0 = time.time()
+c = lm_compress_bytes(data, model_ref=f"file:{CKPT}", block_tokens=4096,
+                      lanes=256, overlap=8, model=model)
+te = time.time() - t0
+print(f"compress {MB} MiB: {len(data)/te/1e6:.3f} MB/s, "
+      f"{8*len(c)/len(data):.4f} bpb ({te:.0f}s)", flush=True)
+t0 = time.time()
+back = lm_decompress_bytes(c, model=model)
+td = time.time() - t0
+assert back == data, "round-trip mismatch"
+print(f"decompress: {len(data)/td/1e6:.3f} MB/s ({td:.0f}s); bit-exact",
+      flush=True)
