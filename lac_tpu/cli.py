@@ -37,6 +37,7 @@ def _cmd_compress(args) -> int:
             overlap=args.overlap,
             det8=args.det8,
             kv8=args.kv8,
+            w8=args.w8,
             cache_grow=args.cache_grow,
         )
         out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
@@ -256,6 +257,11 @@ def main(argv=None) -> int:
                         "width; the schedule is recorded in the container)")
     c.add_argument("--overlap", type=int, default=2,
                    help="window re-prime keep fraction denominator (reference semantics)")
+    c.add_argument("--w8", action="store_true",
+                   help="int8 weights (W8A8 projections): halves per-step "
+                        "weight HBM traffic — the dominant cost at 1B+ "
+                        "scale (quantized forward changes the bitstream, "
+                        "recorded in the container; combinable with --kv8)")
     c.add_argument("--kv8", action="store_true",
                    help="int8 KV cache: halves per-step attention HBM traffic "
                         "(float-path speed mode; quantized attention changes "

@@ -44,6 +44,7 @@ class LMCodingConfig:
     overlap: int = 2                    # window keep fraction denominator
     det8: bool = False                  # topology-invariant integer forward
     kv8: bool = False                   # int8 KV cache (float-path speed mode)
+    w8: bool = False                    # int8 weights (W8A8 projections)
     cache_grow: int = 128               # KV-cache growth bucket (0 = fixed)
 
     def engine_kwargs(self) -> dict:
@@ -59,6 +60,7 @@ class LMCodingConfig:
             "max_seq": self.window,
             "det8": self.det8,
             "kv8": self.kv8,
+            "w8": self.w8,
             "cache_grow": self.cache_grow,
         }
 

@@ -51,6 +51,7 @@ __all__ = [
     "init_cache",
     "forward",
     "stack_layers",
+    "ensure_w8",
     "GPT2_SMALL",
     "TINYLLAMA_1B",
     "LLAMA2_7B",
@@ -88,6 +89,19 @@ class LMConfig:
     # (measured; tests/test_multichip.py). False = plain float forward
     # (fastest; bits then depend on mesh geometry, which the container pins).
     det8: bool = False
+    # int8 weights (serving-style W8A8, opt-in speed mode for the float
+    # path). Lock-step coding at TinyLlama/7B scale is weights-HBM-bound
+    # (BASELINE.md: the 1.1B forward streams ~2.2 GB of bf16 weights per
+    # step), so storing every dense projection as int8 + one f32 scale per
+    # output column halves the dominant per-step traffic and runs the
+    # projections on the MXU's native int8 path (activations quantized per
+    # row on the fly). Also the 7B enabler on one v5e: 6.7 GB of weights
+    # instead of 13.5. Changes the bitstream (quantized projections ->
+    # different logits) — container-flagged and fingerprint-gated like kv8,
+    # combinable with kv8 (disjoint routes), exclusive with det8 (which does
+    # its own dual-int8 quantization). Params must be pre-quantized with
+    # ``ensure_w8`` (the engines do this on entry).
+    w8: bool = False
     # int8 KV cache (serving-style, opt-in speed mode for the float path).
     # Lock-step decode reads the WHOLE cache every step, so K/V bytes are
     # the dominant per-step HBM traffic even after the growing-cache
@@ -99,6 +113,12 @@ class LMConfig:
     # every other forward mode. Mutually exclusive with det8 (which does its
     # own dual-int8 quantization on the fly).
     kv8: bool = False
+
+    def __post_init__(self):
+        if self.det8 and (self.w8 or self.kv8):
+            raise ValueError(
+                "det8 is mutually exclusive with w8/kv8 (it quantizes on its own)"
+            )
 
     @property
     def head_dim(self) -> int:
@@ -356,6 +376,44 @@ def _q8(x: jax.Array, axis) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
+W8_KEYS = ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down")
+
+
+def ensure_w8(cfg: LMConfig, params: dict) -> dict:
+    """Pre-quantize dense projection weights for the w8 forward (idempotent:
+    already-quantized trees pass through). Every W8_KEYS leaf and the output
+    head become ``(int8 q, f32 per-output-column scale)`` tuples; embeddings
+    stay float (gather, not matmul). One pass over the weights — amortized
+    across every step of the wave that follows."""
+    if not cfg.w8 or isinstance(params["layers"]["wq"], tuple):
+        return params
+    return _quantize_w8(cfg, params)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _quantize_w8(cfg: LMConfig, params: dict) -> dict:
+    p = dict(params)
+    layers = dict(p["layers"])
+    for k in W8_KEYS:
+        if k in layers:
+            layers[k] = _q8(layers[k].astype(f32), axis=1)  # [L, K, N]: over K
+    p["layers"] = layers
+    wh = p["embed"][: cfg.vocab].T if cfg.tie_embeddings else p["head"]
+    p["head"] = _q8(wh.astype(f32), axis=0)
+    return p
+
+
+def _w8_dot(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
+    """x [..., K] x int8 weights [K, N] (scales ws [1, N]) -> f32 [..., N].
+    Activations quantize per row on the fly; int8 x int8 accumulates in
+    int32 on the MXU (exact for K < 2^31/127^2 ~ 133k, every preset). The
+    int8 weight array is what the step reads from HBM — half the bf16
+    bytes, which is the measured per-step bound at 1B+ scale."""
+    xq, sx = _q8(x.astype(f32), -1)
+    acc = jnp.einsum("...k,kn->...n", xq, wq, preferred_element_type=jnp.int32)
+    return acc.astype(f32) * sx * (ws * f32(1.0 / (127.0 * 127.0)))
+
+
 def _dual16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """int16-precision dual-int8 row quantization over the LAST axis:
     x ~= (256*hi + lo) * s / 32512 with hi in [-127,127], lo in [-128,127]."""
@@ -524,6 +582,11 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
             if cfg.use_bias:
                 y = y + p[bias_name].astype(f32)
             y = _act(cfg, y)
+        elif cfg.w8:
+            y = _w8_dot(x, *p[w])
+            if cfg.use_bias:
+                y = y + p[bias_name].astype(f32)
+            y = y.astype(cfg.dtype)
         else:
             y = jnp.dot(x, p[w], preferred_element_type=f32).astype(cfg.dtype)
             if cfg.use_bias:
@@ -632,6 +695,11 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
         if cfg.use_bias:
             y = y + p["bo"].astype(f32)
         y = _act(cfg, y)
+    elif cfg.w8:
+        y = _w8_dot(out, *p["wo"])
+        if cfg.use_bias:
+            y = y + p["bo"].astype(f32)
+        y = y.astype(cfg.dtype)
     else:
         y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
         if cfg.use_bias:
@@ -654,6 +722,18 @@ def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
         if cfg.use_bias:
             y = y + p["b_down"].astype(f32)
         return _act(cfg, y)
+    if cfg.w8:
+        up = _w8_dot(x, *p["w_up"])
+        if cfg.use_bias:
+            up = up + p["b_up"].astype(f32)
+        if cfg.act == "silu_glu":
+            up = jax.nn.silu(_w8_dot(x, *p["w_gate"])) * up
+        else:
+            up = jax.nn.gelu(up, approximate=True)
+        y = _w8_dot(up.astype(cfg.dtype), *p["w_down"])
+        if cfg.use_bias:
+            y = y + p["b_down"].astype(f32)
+        return y.astype(cfg.dtype)
     dot = lambda a, w: jnp.dot(a, w, preferred_element_type=f32)  # noqa: E731
     up = dot(x, p["w_up"]).astype(cfg.dtype)
     if cfg.use_bias:
@@ -734,19 +814,19 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
         xs = (params["layers"], cache["k"], cache["v"])
     x, (fk, fv) = jax.lax.scan(body, x, xs, unroll=unroll)
     x = _norm(cfg, params["final_norm"], x)
-    if cfg.tie_embeddings:
-        wh = params["embed"][: cfg.vocab].T  # [D, V]
-    else:
-        wh = params["head"]
     # model-dtype operands with f32 MXU accumulation: an explicit f32 cast of
     # the [D, V] head materializes ~260MB per step at 32k vocab and forces a
     # (slower) f32 matmul; bf16-in/f32-out is the hardware's native mode
-    if cfg.det8:
-        logits = _det_dot8(x, wh)
+    if cfg.w8:
+        logits = _w8_dot(x, *params["head"])  # ensure_w8 materialized it
     else:
-        logits = jnp.dot(
-            x.astype(cfg.dtype), wh.astype(cfg.dtype), preferred_element_type=f32
-        )
+        wh = params["embed"][: cfg.vocab].T if cfg.tie_embeddings else params["head"]
+        if cfg.det8:
+            logits = _det_dot8(x, wh)
+        else:
+            logits = jnp.dot(
+                x.astype(cfg.dtype), wh.astype(cfg.dtype), preferred_element_type=f32
+            )
     # ONE stacked-cache write for all layers ([L, B, S, KVH, Dh] at pos);
     # indices share one dtype even under scoped x64 (a literal 0 would
     # weakly promote to int64 there while pos is int32)

@@ -113,17 +113,18 @@ def _reconstruct_mesh(geom: dict | None, mesh=None):
                      devices=jax.devices()[:need])
 
 
-def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False):
-    """One owner for the forward-mode handshake (det8 / kv8): upgrade a
+def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False,
+                  w8: bool = False):
+    """One owner for the forward-mode handshake (det8 / kv8 / w8): upgrade a
     float cfg when a mode is requested, and refuse a mode-resolved model for
     a container encoded without it at decode (the forward mode is part of
     the bitstream contract; without this check the mismatch would only
     surface as a generic fingerprint error)."""
     import dataclasses
 
-    if det8 and kv8:
-        raise ValueError("kv8 and det8 are mutually exclusive forward modes")
-    for name, want in (("det8", det8), ("kv8", kv8)):
+    if det8 and (kv8 or w8):
+        raise ValueError("det8 is mutually exclusive with kv8/w8 forward modes")
+    for name, want in (("det8", det8), ("kv8", kv8), ("w8", w8)):
         have = getattr(cfg, name)
         if want and not have:
             cfg = dataclasses.replace(cfg, **{name: True})
@@ -148,6 +149,7 @@ def lm_compress_bytes(
     mesh=None,
     det8: bool = False,
     kv8: bool = False,
+    w8: bool = False,
     cache_grow: int = GROW_BUCKET,
 ) -> bytes:
     """model: optional pre-resolved (cfg, params) to skip re-resolution.
@@ -161,7 +163,7 @@ def lm_compress_bytes(
     traffic ~1.4-1.9x. Recorded in the container (schedule = bitstream);
     0 disables (legacy fixed-width graphs)."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
-    cfg = _cfg_for_det8(cfg, det8, kv8=kv8)
+    cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -192,6 +194,7 @@ def lm_compress_bytes(
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
             "kv8": bool(cfg.kv8),
+            "w8": bool(cfg.w8),
             "cache_grow": int(cache_grow),
         },
         original_len=n,
@@ -211,7 +214,7 @@ def _lm_decode_setup(header, model, mesh):
         )
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
     cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True,
-                        kv8=bool(c.get("kv8")))
+                        kv8=bool(c.get("kv8")), w8=bool(c.get("w8")))
     if not c.get("det8"):
         # float CDFs are mesh-dependent: decode must replay the encode mesh
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
@@ -302,6 +305,7 @@ def lm_compress_tokens(
     mesh=None,
     det8: bool = False,
     kv8: bool = False,
+    w8: bool = False,
     cache_grow: int = GROW_BUCKET,
 ) -> bytes:
     """Compress a 1-D sequence of model token ids (the reference's actual
@@ -312,7 +316,7 @@ def lm_compress_tokens(
     minimal-width big-endian ids, so incompressible spans cost
     ~ceil(log2(V)/8) bytes/token, never more."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
-    cfg = _cfg_for_det8(cfg, det8, kv8=kv8)
+    cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
     arr = np.ascontiguousarray(tokens, dtype=np.int32)
     if arr.ndim != 1:
         raise ValueError(f"tokens must be 1-D, got shape {arr.shape}")
@@ -347,6 +351,7 @@ def lm_compress_tokens(
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
             "kv8": bool(cfg.kv8),
+            "w8": bool(cfg.w8),
             "alphabet": "tokens",
             "vocab": cfg.vocab,
             "cache_grow": int(cache_grow),
@@ -368,7 +373,7 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
         )
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
     cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True,
-                        kv8=bool(c.get("kv8")))
+                        kv8=bool(c.get("kv8")), w8=bool(c.get("w8")))
     if cfg.vocab != c["vocab"]:
         raise ValueError(f"model vocab {cfg.vocab} != container vocab {c['vocab']}")
     if not c.get("det8"):

@@ -24,7 +24,7 @@ import numpy as np
 from jax import lax
 
 from ..coder.vector import _decode_step, _encode_scan, rans_decode_init
-from ..models.transformer import LMConfig, forward, init_cache
+from ..models.transformer import LMConfig, ensure_w8, forward, init_cache
 from ..ops.quantize import cdf_from_freq, gather_intervals, quantize_logits
 from ..utils.jaxutil import x64
 
@@ -265,6 +265,7 @@ def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
     ``cache_grow``: bucketed growing-cache schedule (0 = legacy fixed width;
     must match the decoder's value — the container records it)."""
     _check_grow(cache_grow)
+    params = ensure_w8(cfg, params)
     if tokens.shape[1] > cfg.max_seq:
         raise ValueError(f"block tokens {tokens.shape[1]} > context {cfg.max_seq}")
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
@@ -282,6 +283,7 @@ def lm_encode(cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
 def lm_decode(cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
               prob_bits: int, t_len: int, cache_grow: int = 0):
     _check_grow(cache_grow)
+    params = ensure_w8(cfg, params)
     if t_len > cfg.max_seq:
         raise ValueError(f"block tokens {t_len} > context {cfg.max_seq}")
     words = jnp.asarray(words, dtype=jnp.uint32)
@@ -358,6 +360,7 @@ def lm_encode_windowed(
 ):
     """Encode lanes of arbitrary length with sliding-window re-priming."""
     _check_grow(cache_grow)
+    params = ensure_w8(cfg, params)
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     b, t_len = tokens.shape
@@ -423,6 +426,7 @@ def lm_decode_windowed(
     prob_bits: int, t_len: int, overlap: int = 2, cache_grow: int = 0,
 ):
     _check_grow(cache_grow)
+    params = ensure_w8(cfg, params)
     words = jnp.asarray(words, dtype=jnp.uint32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     if t_len <= cfg.max_seq:
@@ -479,12 +483,17 @@ def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0) -
     the legacy value so old containers still validate."""
     import zlib
 
+    params = ensure_w8(cfg, params)
     cache = init_cache(cfg, 1)
     prev = jnp.full((1,), cfg.bos_id, dtype=jnp.int32)
     cdf, _ = jax.jit(_step_cdf, static_argnums=(0, 4))(cfg, params, cache, prev, prob_bits)
     crc = zlib.crc32(np.asarray(cdf).tobytes())
     if cache_grow:
         crc = zlib.crc32(f"cache_grow={cache_grow}".encode(), crc)
+    if cfg.w8:
+        # the probe CDF already reflects w8 projections; fold the mode tag
+        # anyway so the failure message stays attributable (same as kv8)
+        crc = zlib.crc32(b"w8", crc)
     if cfg.kv8:
         # kv8 only alters the CACHE route, which the one-step empty-cache
         # probe never exercises — fold the mode in explicitly so a float

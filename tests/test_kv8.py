@@ -78,10 +78,10 @@ def test_kv8_changes_bits_and_fingerprint():
 def test_kv8_det8_mutually_exclusive():
     with pytest.raises(ValueError, match="mutually exclusive"):
         lm_compress_bytes(b"x" * 10, model_ref="prng:tiny:0", det8=True, kv8=True)
-    cfg = tiny_config(vocab=61, n_heads=4, n_kv_heads=2, max_seq=32,
-                      kv8=True, det8=True)
+    # exclusivity is now enforced at config construction (covers w8 too)
     with pytest.raises(ValueError, match="mutually exclusive"):
-        init_cache(cfg, 1)
+        tiny_config(vocab=61, n_heads=4, n_kv_heads=2, max_seq=32,
+                    kv8=True, det8=True)
 
 
 def test_kv8_on_mesh_and_distributed_driver():
