@@ -164,6 +164,7 @@ def lm_compress_distributed(
     mesh=None,
     det8: bool = False,
     kv8: bool = False,
+    w8: bool = False,
     cache_grow: int | None = None,
 ) -> bytes:
     """Multi-process LM compression (BASELINE configs #4/#5): every process
@@ -186,7 +187,7 @@ def lm_compress_distributed(
     if cache_grow is None:
         cache_grow = GROW_BUCKET
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
-    cfg = _cfg_for_det8(cfg, det8, kv8=kv8)
+    cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -226,6 +227,7 @@ def lm_compress_distributed(
             "mesh": _mesh_geometry(mesh),
             "det8": bool(cfg.det8),
             "kv8": bool(cfg.kv8),
+            "w8": bool(cfg.w8),
             "cache_grow": int(cache_grow),
         },
         original_len=n,
@@ -254,7 +256,7 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
     c = header.config
     cfg, params = model if model is not None else resolve_lm(c["model_ref"], c["max_seq"])
     cfg = _cfg_for_det8(cfg, bool(c.get("det8")), decoding=True,
-                        kv8=bool(c.get("kv8")))
+                        kv8=bool(c.get("kv8")), w8=bool(c.get("w8")))
     if not c.get("det8"):
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])

@@ -130,6 +130,17 @@ def test_w8_on_mesh():
     assert header.config["w8"] is True
     assert lm_decompress_bytes(c) == data
 
+    from lac_tpu.runtime.dist import (
+        lm_compress_distributed,
+        lm_decompress_distributed,
+    )
+
+    cd = lm_compress_distributed(data, model_ref="prng:tiny:0",
+                                 block_tokens=256, lanes=4, w8=True, mesh=mesh)
+    hd, _ = read_container(cd)
+    assert hd.config["w8"] is True
+    assert lm_decompress_distributed(cd, mesh=mesh) == data
+
 
 def test_w8_quantization_stays_close_to_float():
     """Not a bit contract — a sanity bound that W8A8 stays a usable

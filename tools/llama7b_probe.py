@@ -39,33 +39,53 @@ nparams = (
 print(f"llama2-7b arch: {nparams/1e9:.2f}B params, bf16 {2*nparams/2**30:.1f} GiB",
       flush=True)
 
-t0 = time.time()
-params = jax.jit(init_params, static_argnums=0)(cfg, jax.random.PRNGKey(0))
-params = jax.block_until_ready(params)
-print(f"on-device init {time.time()-t0:.0f}s", flush=True)
-
 rng = np.random.default_rng(0)
 toks = rng.integers(0, cfg.vocab, (B, T)).astype(np.int32)
 lens = np.full((B,), T, np.int32)
 
-t0 = time.time()
-w, nw = lm_encode(cfg, params, toks, lens, PB)
-int(jnp.sum(nw))
-print(f"encode compile+run {time.time()-t0:.0f}s (B={B}, T={T})", flush=True)
-t0 = time.time()
-w, nw = lm_encode(cfg, params, toks, lens, PB)
-int(jnp.sum(nw))
-te = time.time() - t0
-print(f"encode: {B*T/te:.1f} tok/s ({te:.1f}s)", flush=True)
 
-wn = np.asarray(w)
+def run(cfg, params, tag):
+    t0 = time.time()
+    w, nw = lm_encode(cfg, params, toks, lens, PB)
+    int(jnp.sum(nw))
+    print(f"{tag} encode compile+run {time.time()-t0:.0f}s (B={B}, T={T})",
+          flush=True)
+    t0 = time.time()
+    w, nw = lm_encode(cfg, params, toks, lens, PB)
+    int(jnp.sum(nw))
+    te = time.time() - t0
+    print(f"{tag} encode: {B*T/te:.1f} tok/s ({te:.1f}s)", flush=True)
+    wn = np.asarray(w)
+    t0 = time.time()
+    d = lm_decode(cfg, params, wn, lens, PB, T)
+    int(jnp.sum(d))
+    print(f"{tag} decode compile+run {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    d = lm_decode(cfg, params, wn, lens, PB, T)
+    int(jnp.sum(d))
+    td = time.time() - t0
+    assert (np.asarray(d) == toks).all(), "round-trip mismatch"
+    print(f"{tag} decode: {B*T/td:.1f} tok/s ({td:.1f}s); round-trip exact",
+          flush=True)
+
+
+# w8: int8 weights (6.7 GB) + bf16 cache fits comfortably. Init and
+# quantize are FUSED in one jit so the 13.5 GB float tree only ever exists
+# as per-layer XLA intermediates (holding both full trees would OOM HBM).
+from lac_tpu.models.transformer import ensure_w8
+
+wcfg = dataclasses.replace(cfg, w8=True)
 t0 = time.time()
-d = lm_decode(cfg, params, wn, lens, PB, T)
-int(jnp.sum(d))
-print(f"decode compile+run {time.time()-t0:.0f}s", flush=True)
-t0 = time.time()
-d = lm_decode(cfg, params, wn, lens, PB, T)
-int(jnp.sum(d))
-td = time.time() - t0
-assert (np.asarray(d) == toks).all(), "round-trip mismatch"
-print(f"decode: {B*T/td:.1f} tok/s ({td:.1f}s); round-trip exact", flush=True)
+wparams = jax.block_until_ready(
+    jax.jit(lambda key: ensure_w8(wcfg, init_params(wcfg, key)))(
+        jax.random.PRNGKey(0))
+)
+print(f"on-device init+w8-quantize {time.time()-t0:.0f}s", flush=True)
+run(wcfg, wparams, "w8")
+
+if os.environ.get("LAC_7B_BF16", "0") == "1":
+    # optional: the bf16 tree alone is ~13.5/16 GB — borderline with cache
+    del wparams
+    params = jax.block_until_ready(
+        jax.jit(init_params, static_argnums=0)(cfg, jax.random.PRNGKey(0)))
+    run(cfg, params, "bf16")

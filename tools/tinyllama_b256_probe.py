@@ -50,3 +50,32 @@ int(jnp.sum(d))
 td = time.time() - t0
 assert (np.asarray(d) == toks).all(), "round-trip mismatch"
 print(f"decode: {B*T/td:.0f} tok/s ({td:.1f}s); round-trip exact", flush=True)
+
+# w8 (+kv8) speed modes in the same process: the weights-bound regime is
+# exactly where int8 weights should pay
+import dataclasses
+
+from lac_tpu.models.transformer import ensure_w8
+
+for modes in ({"w8": True}, {"w8": True, "kv8": True}):
+    mcfg = dataclasses.replace(cfg, **modes)
+    mp = ensure_w8(mcfg, params)  # quantize once, outside the timed region
+    tag = "+".join(modes)
+    t0 = time.time()
+    w, nw = lm_encode(mcfg, mp, toks, lens, PB, cache_grow=GROW_BUCKET)
+    int(jnp.sum(nw))
+    print(f"{tag} encode compile+run {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    w, nw = lm_encode(mcfg, mp, toks, lens, PB, cache_grow=GROW_BUCKET)
+    int(jnp.sum(nw))
+    te = time.time() - t0
+    wn = np.asarray(w)
+    d = lm_decode(mcfg, mp, wn, lens, PB, T, cache_grow=GROW_BUCKET)
+    int(jnp.sum(d))
+    t0 = time.time()
+    d = lm_decode(mcfg, mp, wn, lens, PB, T, cache_grow=GROW_BUCKET)
+    int(jnp.sum(d))
+    td = time.time() - t0
+    assert (np.asarray(d) == toks).all(), f"{tag} round-trip mismatch"
+    print(f"{tag}: encode {B*T/te:.0f} tok/s, decode {B*T/td:.0f} tok/s; exact",
+          flush=True)
