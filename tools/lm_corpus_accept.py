@@ -15,6 +15,11 @@ from lac_tpu.models.lm_registry import resolve_lm
 from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
 
 MB = int(os.environ.get("LAC_LM_MB", "10"))
+# block_tokens > the model window = the RATIO config (re-prime prefills
+# dominate: 448 prefill tokens per 64 coded at ov8). block_tokens = window
+# = the THROUGHPUT config (no re-priming). Probe both via env.
+BLOCK = int(os.environ.get("LAC_LM_BLOCK", "4096"))
+OVERLAP = int(os.environ.get("LAC_LM_OVERLAP", "8"))
 CKPT = "checkpoints/byte12l-pysrc.npz"
 
 data = bench.build_corpus(MB << 20)
@@ -22,14 +27,14 @@ model = resolve_lm(f"file:{CKPT}", None)
 
 # warm the executables on a tiny slice so the timed run measures the
 # pipeline, not the one-time compile
-lm_compress_bytes(data[: 4096 * 256], model_ref=f"file:{CKPT}",
-                  block_tokens=4096, lanes=256, overlap=8, model=model)
+lm_compress_bytes(data[: BLOCK * 256], model_ref=f"file:{CKPT}",
+                  block_tokens=BLOCK, lanes=256, overlap=OVERLAP, model=model)
 
 t0 = time.time()
-c = lm_compress_bytes(data, model_ref=f"file:{CKPT}", block_tokens=4096,
-                      lanes=256, overlap=8, model=model)
+c = lm_compress_bytes(data, model_ref=f"file:{CKPT}", block_tokens=BLOCK,
+                      lanes=256, overlap=OVERLAP, model=model)
 te = time.time() - t0
-print(f"compress {MB} MiB: {len(data)/te/1e6:.3f} MB/s, "
+print(f"compress {MB} MiB (block {BLOCK} ov {OVERLAP}): {len(data)/te/1e6:.3f} MB/s, "
       f"{8*len(c)/len(data):.4f} bpb ({te:.0f}s)", flush=True)
 t0 = time.time()
 back = lm_decompress_bytes(c, model=model)
