@@ -276,6 +276,22 @@ def main() -> int:
             "lm_trained_ckpt": os.path.basename(ckpt),
         })
 
+    @section("lm_7b")
+    def _lm7b():
+        # flagship-scale capability row (BASELINE config #4): runs in a
+        # SUBPROCESS under a hard timeout because the remote compile service
+        # occasionally wedges >20 min — a wedge must cost one row, not the
+        # whole round's JSON
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_7b_row.py"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"7b row rc={r.returncode}: {r.stderr[-300:]}")
+        detail.update(json.loads(r.stdout.strip().splitlines()[-1]))
+
     print(json.dumps({
         "metric": "byte-path (order0n turbo) encode+decode throughput, 1 chip",
         "value": primary.get("value"),
