@@ -39,6 +39,7 @@ def _cmd_compress(args) -> int:
             kv8=args.kv8,
             w8=args.w8,
             cache_grow=args.cache_grow,
+            window_mode=args.window_mode,
         )
         out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
     else:
@@ -257,6 +258,11 @@ def main(argv=None) -> int:
                         "width; the schedule is recorded in the container)")
     c.add_argument("--overlap", type=int, default=2,
                    help="window re-prime keep fraction denominator (reference semantics)")
+    c.add_argument("--window-mode", choices=("reprime", "slide"), default="reprime",
+                   help="blocks past the model context: reference-style cache "
+                        "rebuilds (reprime) or a ring-buffer cache with global "
+                        "RoPE positions (slide: no re-prime work, full-window "
+                        "context at every token)")
     c.add_argument("--w8", action="store_true",
                    help="int8 weights (W8A8 projections): halves per-step "
                         "weight HBM traffic — the dominant cost at 1B+ "

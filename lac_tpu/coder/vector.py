@@ -151,14 +151,16 @@ def rans_decode_step(state: RansDecState, cdf, prob_bits: int, active=None):
 
 def _decode_scan(words, cdfs, lengths, prob_bits):
     state = rans_decode_init.__wrapped__(words)
+    wbuf = state.words  # read-only: scan constant, not a carry
 
-    def step(state, xs):
+    def step(carry, xs):
+        x, pos = carry
         cdf_t, t = xs
-        sym, state = _decode_step(state, cdf_t, prob_bits, t < lengths)
-        return state, sym
+        sym, st = _decode_step((x, wbuf, pos), cdf_t, prob_bits, t < lengths)
+        return (st.x, st.pos), sym
 
     ts = jnp.arange(cdfs.shape[1], dtype=jnp.int32)
-    _, syms = lax.scan(step, state, (jnp.swapaxes(cdfs, 0, 1), ts))
+    _, syms = lax.scan(step, (state.x, state.pos), (jnp.swapaxes(cdfs, 0, 1), ts))
     return syms.T  # [B, T]
 
 

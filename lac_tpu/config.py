@@ -46,6 +46,7 @@ class LMCodingConfig:
     kv8: bool = False                   # int8 KV cache (float-path speed mode)
     w8: bool = False                    # int8 weights (W8A8 projections)
     cache_grow: int = 128               # KV-cache growth bucket (0 = fixed)
+    window_mode: str = "reprime"        # "reprime" | "slide" (ring cache)
 
     def engine_kwargs(self) -> dict:
         """Keyword mapping for runtime.lm_api.lm_compress_bytes. ``window``
@@ -62,6 +63,7 @@ class LMCodingConfig:
             "kv8": self.kv8,
             "w8": self.w8,
             "cache_grow": self.cache_grow,
+            "window_mode": self.window_mode,
         }
 
 

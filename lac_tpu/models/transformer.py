@@ -113,12 +113,31 @@ class LMConfig:
     # every other forward mode. Mutually exclusive with det8 (which does its
     # own dual-int8 quantization on the fly).
     kv8: bool = False
+    # Ring-buffer sliding-window cache (opt-in coding mode for blocks longer
+    # than the context; the engine sets it via dataclasses.replace, like
+    # kv8). The cache write cursor wraps modulo the cache width while RoPE
+    # keeps GLOBAL positions: RoPE is exactly relative (R(a)^T R(b) =
+    # R(b-a)), so a query at position p attending cached keys rotated at
+    # their own absolute positions sees exactly the relative offsets 1..W —
+    # the same distribution as a training crop, with no re-prime prefill at
+    # all (the reprime schedule re-encodes keep=W-W/overlap tokens per
+    # W/overlap coded). Each token gets the FULL W-token context instead of
+    # reprime's W-W/overlap..W range, and layer-l representations carry
+    # receptive fields beyond the window (Transformer-XL-style evaluation).
+    # Requires rope positions (a learned table would index out of range) and
+    # excludes det8 for now (its host RoPE tables stop at max_seq and its
+    # chunked encode would wrap mid-chunk). Composes with w8/kv8.
+    slide: bool = False
 
     def __post_init__(self):
         if self.det8 and (self.w8 or self.kv8):
             raise ValueError(
                 "det8 is mutually exclusive with w8/kv8 (it quantizes on its own)"
             )
+        if self.slide and self.det8:
+            raise ValueError("slide mode does not support det8 yet")
+        if self.slide and self.pos_embedding != "rope":
+            raise ValueError("slide mode requires rope positions")
 
     @property
     def head_dim(self) -> int:
@@ -831,7 +850,17 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     # indices share one dtype even under scoped x64 (a literal 0 would
     # weakly promote to int64 there while pos is int32)
     z = jnp.zeros((), jnp.int32)
-    at = (z, z, pos, z, z)
+    if cfg.slide:
+        # ring buffer: the write cursor wraps modulo the cache width while
+        # ``pos`` (and therefore RoPE positions and the validity mask) keeps
+        # counting globally — reads happen above, before this write, so at
+        # global step p the cache holds exactly tokens [p-W, p). S must not
+        # wrap mid-write: engine callers step S=1 after the first window
+        # (which starts at cursor 0).
+        w_cache = cache["k"].shape[2]
+        at = (z, z, pos % jnp.int32(w_cache), z, z)
+    else:
+        at = (z, z, pos, z, z)
     if cfg.kv8:
         # fresh K/V quantize per row at the cache write; the fresh-path
         # scores in _attention used the unquantized rows — encoder and

@@ -166,6 +166,7 @@ def lm_compress_distributed(
     kv8: bool = False,
     w8: bool = False,
     cache_grow: int | None = None,
+    window_mode: str = "reprime",
 ) -> bytes:
     """Multi-process LM compression (BASELINE configs #4/#5): every process
     codes its contiguous span of blocks with its local devices (optionally a
@@ -199,7 +200,7 @@ def lm_compress_distributed(
     mine = _with_retry(
         lambda: encode_lm_span(
             cfg, params, place, data, start, end, block_tokens, lanes,
-            prob_bits, overlap, cache_grow=cache_grow,
+            prob_bits, overlap, cache_grow=cache_grow, window_mode=window_mode,
         ),
         f"lm encode span [{start},{end})",
     )
@@ -229,6 +230,7 @@ def lm_compress_distributed(
             "kv8": bool(cfg.kv8),
             "w8": bool(cfg.w8),
             "cache_grow": int(cache_grow),
+            "window_mode": window_mode,
         },
         original_len=n,
     )
@@ -273,6 +275,7 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
             cfg, params, place, blocks, start, end, c["block_tokens"],
             c["lanes"], header.prob_bits, c["overlap"],
             cache_grow=int(c.get("cache_grow", 0)),
+            window_mode=c.get("window_mode", "reprime"),
         ),
         f"lm decode span [{start},{end})",
     )

@@ -151,6 +151,7 @@ def lm_compress_bytes(
     kv8: bool = False,
     w8: bool = False,
     cache_grow: int = GROW_BUCKET,
+    window_mode: str = "reprime",
 ) -> bytes:
     """model: optional pre-resolved (cfg, params) to skip re-resolution.
     mesh: optional jax.sharding.Mesh (axes ``data``, ``model``) — lanes
@@ -161,7 +162,12 @@ def lm_compress_bytes(
     cache_grow: KV-cache growth bucket (runtime.lm_engine) — the cache
     starts one bucket wide and grows per bucket, cutting serial attention
     traffic ~1.4-1.9x. Recorded in the container (schedule = bitstream);
-    0 disables (legacy fixed-width graphs)."""
+    0 disables (legacy fixed-width graphs).
+    window_mode: how blocks longer than the model context are coded —
+    "reprime" (reference-style cache rebuilds every window/overlap tokens)
+    or "slide" (ring-buffer cache, no re-prime work, full-window context at
+    every token; see lm_engine.lm_encode_windowed). Recorded in the
+    container; only meaningful when block_tokens > the model context."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
     if cfg.vocab < 256:
@@ -177,7 +183,7 @@ def lm_compress_bytes(
         BlockEntry(*t)
         for t in encode_lm_span(
             cfg, params, place, data, 0, nblocks, block_tokens, lanes,
-            prob_bits, overlap, cache_grow=cache_grow,
+            prob_bits, overlap, cache_grow=cache_grow, window_mode=window_mode,
         )
     ]
     header = ContainerHeader(
@@ -196,6 +202,7 @@ def lm_compress_bytes(
             "kv8": bool(cfg.kv8),
             "w8": bool(cfg.w8),
             "cache_grow": int(cache_grow),
+            "window_mode": window_mode,
         },
         original_len=n,
     )
@@ -236,6 +243,7 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
         cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
         c["lanes"], header.prob_bits, c["overlap"],
         cache_grow=int(c.get("cache_grow", 0)),
+        window_mode=c.get("window_mode", "reprime"),
     )
     out = bytearray()
     for p in parts:
@@ -270,6 +278,7 @@ def lm_decompress_prefix(container: bytes, model=None, mesh=None):
             cfg, params, place, blocks, 0, ngood, c["block_tokens"],
             c["lanes"], header.prob_bits, c["overlap"],
             cache_grow=int(c.get("cache_grow", 0)),
+            window_mode=c.get("window_mode", "reprime"),
         )
         for p in parts:
             out += p
@@ -307,6 +316,7 @@ def lm_compress_tokens(
     kv8: bool = False,
     w8: bool = False,
     cache_grow: int = GROW_BUCKET,
+    window_mode: str = "reprime",
 ) -> bytes:
     """Compress a 1-D sequence of model token ids (the reference's actual
     flagship interface — llama_compress.py codes the tokenizer's output
@@ -334,7 +344,7 @@ def lm_compress_tokens(
         BlockEntry(*t)
         for t in encode_lm_span(
             cfg, params, place, arr, 0, nblocks, block_tokens, lanes,
-            prob_bits, overlap, cache_grow=cache_grow,
+            prob_bits, overlap, cache_grow=cache_grow, window_mode=window_mode,
         )
     ]
     header = ContainerHeader(
@@ -355,6 +365,7 @@ def lm_compress_tokens(
             "alphabet": "tokens",
             "vocab": cfg.vocab,
             "cache_grow": int(cache_grow),
+            "window_mode": window_mode,
         },
         original_len=n,
     )
@@ -390,6 +401,7 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
         cfg, params, place, blocks, 0, len(blocks), c["block_tokens"],
         c["lanes"], header.prob_bits, c["overlap"], sym_dtype=rdt,
         cache_grow=int(c.get("cache_grow", 0)),
+        window_mode=c.get("window_mode", "reprime"),
     )
     out = np.concatenate(
         [np.frombuffer(p, dtype=rdt).astype(np.int32) for p in parts]
@@ -429,7 +441,7 @@ def auto_prob_bits(cfg, prob_bits: int) -> int:
 
 def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
                    block_tokens: int, lanes: int, prob_bits: int, overlap: int,
-                   cache_grow: int = 0):
+                   cache_grow: int = 0, window_mode: str = "reprime"):
     """Encode blocks [start, end) of ``data`` in fixed-shape waves of
     ``lanes``; returns ``[(raw_len, token_count, payload)]`` triplets in
     block order (token_count 0 marks the raw fallback). One-wave pipeline:
@@ -478,7 +490,8 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
             tokens_d, lengths_d = place(tokens, lengths)
         with jax.profiler.TraceAnnotation("lm/encode_dispatch"):
             words_d, nwords_d = lm_encode_windowed(
-                cfg, params, tokens_d, lengths_d, prob_bits, overlap, cache_grow
+                cfg, params, tokens_d, lengths_d, prob_bits, overlap, cache_grow,
+                mode=window_mode,
             )
         if pending is not None:
             finish(*pending)
@@ -490,7 +503,8 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
 
 def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
                    block_tokens: int, lanes: int, prob_bits: int, overlap: int,
-                   sym_dtype=np.uint8, cache_grow: int = 0):
+                   sym_dtype=np.uint8, cache_grow: int = 0,
+                   window_mode: str = "reprime"):
     """Decode container blocks [start, end); returns their packed symbol
     payloads in block order (same wave pipeline as the encoder).
     ``sym_dtype``: how decoded symbols pack into the returned bytes — uint8
@@ -529,7 +543,7 @@ def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
                 words_d, lengths_d = place(words, lengths)
                 syms_d = lm_decode_windowed(
                     cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap,
-                    cache_grow
+                    cache_grow, mode=window_mode,
                 )
         if pending is not None:
             finish(*pending)

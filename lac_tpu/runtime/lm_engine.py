@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..coder.vector import _decode_step, _encode_scan, rans_decode_init
+from ..coder.vector import (RansDecState, _decode_step, _encode_scan,
+                            rans_decode_init)
 from ..models.transformer import LMConfig, ensure_w8, forward, init_cache
 from ..ops.quantize import cdf_from_freq, gather_intervals, quantize_logits
 from ..utils.jaxutil import x64
@@ -45,14 +46,16 @@ def _step_cdf(cfg: LMConfig, params, cache, prev, prob_bits: int):
     return cdf_from_freq(freq), cache
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
-def _encode_intervals(cfg: LMConfig, params, tokens, lengths, prob_bits: int):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _encode_intervals(cfg: LMConfig, params, tokens, lengths, prob_bits: int,
+                      window: int | None = None):
     """Forward pass over all positions collecting the coded symbols'
-    (cdf_lo, freq). tokens [B, T] int32."""
+    (cdf_lo, freq). tokens [B, T] int32. ``window`` overrides the cache
+    width (slide mode rings a cfg.max_seq cache under arbitrary T)."""
     b = tokens.shape[0]
     # cache sized to the block (rounded up for layout): every step reads the
     # whole cache, so this is directly attention HBM traffic
-    cache = init_cache(cfg, b, -(-tokens.shape[1] // 128) * 128)
+    cache = init_cache(cfg, b, window or -(-tokens.shape[1] // 128) * 128)
     prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
 
     def step(carry, tok_t):
@@ -236,21 +239,24 @@ def _decode_scan_grown(cfg: LMConfig, params, words, lengths, prob_bits: int, t_
     return jnp.concatenate(outs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
-def _decode_scan(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int):
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _decode_scan(cfg: LMConfig, params, words, lengths, prob_bits: int, t_len: int,
+                 window: int | None = None):
     b = words.shape[0]
-    cache = init_cache(cfg, b, -(-t_len // 128) * 128)
+    cache = init_cache(cfg, b, window or -(-t_len // 128) * 128)
     prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
     rstate = rans_decode_init.__wrapped__(words)
 
+    # the word buffer ([B, ~T/2] u32 at large blocks) is read-only: keep it a
+    # scan CONSTANT (closed over), not a carry — only (x, pos) thread through
     def step(carry, t):
-        cache, prev, rstate = carry
+        cache, prev, x, pos = carry
         cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
-        sym, rstate = _decode_step(rstate, cdf, prob_bits, t < lengths)
-        return (cache, sym, rstate), sym
+        sym, st = _decode_step((x, rstate.words, pos), cdf, prob_bits, t < lengths)
+        return (cache, sym, st.x, st.pos), sym
 
     ts = jnp.arange(t_len, dtype=jnp.int32)
-    _, syms = lax.scan(step, (cache, prev0, rstate), ts)
+    _, syms = lax.scan(step, (cache, prev0, rstate.x, rstate.pos), ts)
     return syms.T
 
 
@@ -353,12 +359,30 @@ def _reprime_cdf(cfg: LMConfig, params, kept_tokens, prob_bits: int):
     return cdf_from_freq(freq), cache
 
 
+def _slide_cfg(cfg: LMConfig) -> LMConfig:
+    """Coding-time upgrade to the ring-buffer forward (LMConfig.slide);
+    raises for det8/learned-position models via LMConfig.__post_init__."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, slide=True)
+
+
 @x64
 def lm_encode_windowed(
     cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
     prob_bits: int, overlap: int = 2, cache_grow: int = 0,
+    mode: str = "reprime",
 ):
-    """Encode lanes of arbitrary length with sliding-window re-priming."""
+    """Encode lanes of arbitrary length past the model context.
+
+    ``mode``: "reprime" rebuilds the cache from the kept suffix every
+    window/overlap tokens (reference llama_compress.py:31-39 semantics);
+    "slide" rings a fixed cfg.max_seq cache with global RoPE positions —
+    no re-prime prefills, full-window context at every token (LMConfig.slide
+    docstring). The mode is part of the bitstream schedule: the container
+    records it and the decoder must replay the same one. Slide ignores
+    cache_grow (the ring is fixed-width; growth would only cover the first
+    window)."""
     _check_grow(cache_grow)
     params = ensure_w8(cfg, params)
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
@@ -372,6 +396,13 @@ def lm_encode_windowed(
         else:
             lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
         return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
+    if mode == "slide":
+        scfg = _slide_cfg(cfg)
+        lo, f = _encode_intervals(scfg, params, tokens, lengths, prob_bits,
+                                  window=cfg.max_seq)
+        return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
+    if mode != "reprime":
+        raise ValueError(f"unknown window mode: {mode!r}")
     segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
     # growth applies to the FIRST window only (re-primes prefill `keep`
     # tokens, so later segments need the full width anyway); it requires
@@ -408,22 +439,26 @@ def lm_encode_windowed(
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def _seg_decode(cfg: LMConfig, params, cache, prev, rstate, prob_bits: int, steps: int, t0, lengths):
-    def step(carry, i):
-        cache, prev, rstate = carry
-        cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
-        sym, rstate = _decode_step(rstate, cdf, prob_bits, (t0 + i) < lengths)
-        return (cache, sym, rstate), sym
+    # words stays a scan constant (see _decode_scan); only (x, pos) carry
+    words = rstate.words
 
-    (cache, prev, rstate), syms = lax.scan(
-        step, (cache, prev, rstate), jnp.arange(steps, dtype=jnp.int32)
+    def step(carry, i):
+        cache, prev, x, pos = carry
+        cdf, cache = _step_cdf(cfg, params, cache, prev, prob_bits)
+        sym, st = _decode_step((x, words, pos), cdf, prob_bits, (t0 + i) < lengths)
+        return (cache, sym, st.x, st.pos), sym
+
+    (cache, prev, x, pos), syms = lax.scan(
+        step, (cache, prev, rstate.x, rstate.pos), jnp.arange(steps, dtype=jnp.int32)
     )
-    return cache, prev, rstate, syms.T
+    return cache, prev, RansDecState(x, words, pos), syms.T
 
 
 @x64
 def lm_decode_windowed(
     cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
     prob_bits: int, t_len: int, overlap: int = 2, cache_grow: int = 0,
+    mode: str = "reprime",
 ):
     _check_grow(cache_grow)
     params = ensure_w8(cfg, params)
@@ -434,6 +469,12 @@ def lm_decode_windowed(
             return _decode_scan_grown(cfg, params, words, lengths, prob_bits,
                                       t_len, cache_grow)
         return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
+    if mode == "slide":
+        scfg = _slide_cfg(cfg)
+        return _decode_scan(scfg, params, words, lengths, prob_bits, t_len,
+                            window=cfg.max_seq)
+    if mode != "reprime":
+        raise ValueError(f"unknown window mode: {mode!r}")
     b = words.shape[0]
     segs, keep = window_schedule(t_len, cfg.max_seq, overlap)
     grow = cache_grow if (cache_grow and cfg.max_seq % cache_grow == 0) else 0

@@ -61,3 +61,123 @@ def test_windowed_matches_plain_when_fits():
     w2, n2 = lm_encode_windowed(cfg, params, tokens, lengths, 12)
     assert (np.asarray(n1) == np.asarray(n2)).all()
     assert (np.asarray(w1) == np.asarray(w2)).all()
+
+
+# --------------------------------------------------------------------------
+# Slide mode (ring-buffer cache, LMConfig.slide): no re-prime prefills;
+# global RoPE positions keep relative offsets exact (R(a)^T R(b) = R(b-a)).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("t_len", [17, 48, 50])
+def test_slide_roundtrip(t_len):
+    cfg = tiny_config(vocab=41, max_seq=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(t_len)
+    b, pb = 3, 14
+    lengths = np.array([t_len, max(1, t_len - 5), t_len], dtype=np.int32)
+    tokens = rng.integers(0, cfg.vocab, (b, t_len)).astype(np.int32)
+    for i, l in enumerate(lengths):
+        tokens[i, l:] = 0
+    words, _ = lm_encode_windowed(cfg, params, tokens, lengths, pb, mode="slide")
+    out = np.asarray(lm_decode_windowed(
+        cfg, params, np.asarray(words), lengths, pb, t_len, mode="slide"))
+    for i in range(b):
+        assert (out[i, : lengths[i]] == tokens[i, : lengths[i]]).all(), f"lane {i}"
+
+
+def test_slide_kv8_w8_roundtrip():
+    import dataclasses
+
+    base = tiny_config(vocab=41, max_seq=16)
+    rng = np.random.default_rng(7)
+    t_len, pb = 40, 14
+    tokens = rng.integers(0, base.vocab, (2, t_len)).astype(np.int32)
+    lengths = np.full(2, t_len, dtype=np.int32)
+    for mode_kw in ({"kv8": True}, {"w8": True}):
+        cfg = dataclasses.replace(base, **mode_kw)
+        params = init_params(base, jax.random.PRNGKey(2))
+        words, _ = lm_encode_windowed(cfg, params, tokens, lengths, pb, mode="slide")
+        out = np.asarray(lm_decode_windowed(
+            cfg, params, np.asarray(words), lengths, pb, t_len, mode="slide"))
+        assert (out == tokens).all(), mode_kw
+
+
+def test_slide_differs_from_reprime():
+    """Past the context, slide and reprime are different schedules and must
+    produce different bitstreams (each self-consistent — see roundtrips)."""
+    cfg = tiny_config(vocab=41, max_seq=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.vocab, (2, 48)).astype(np.int32)
+    lengths = np.full(2, 48, dtype=np.int32)
+    wr, nr = lm_encode_windowed(cfg, params, tokens, lengths, 14, mode="reprime")
+    ws, ns = lm_encode_windowed(cfg, params, tokens, lengths, 14, mode="slide")
+    same = (np.asarray(nr) == np.asarray(ns)).all() and (
+        np.asarray(wr) == np.asarray(ws)).all()
+    assert not same
+
+
+def test_slide_ring_semantics_one_layer():
+    """Semantic oracle for the ring buffer: with ONE layer, the slide-mode
+    CDF-producing logits at global step p must match a fresh forward over
+    exactly the last W tokens at re-based positions (RoPE relativity), up to
+    float tolerance (different absolute rotations, same relative offsets)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from lac_tpu.models.transformer import forward, init_cache
+
+    W = 8
+    cfg = tiny_config(vocab=23, max_seq=W, n_layers=1, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    scfg = dataclasses.replace(cfg, slide=True)
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, cfg.vocab, (1, 3 * W)).astype(np.int32)
+
+    # drive the slide forward serially over the whole stream
+    cache = init_cache(scfg, 1)
+    prev = np.full((1, 1), cfg.bos_id, dtype=np.int32)
+    slide_logits = []
+    for t in range(toks.shape[1]):
+        lg, cache = forward(scfg, params, jnp.asarray(prev), cache)
+        slide_logits.append(np.asarray(lg[:, 0]))
+        prev = toks[:, t : t + 1]
+
+    # oracle at a step past one full wrap: at step p the slide forward's
+    # query (input toks[p-1]) attends the W cached inputs toks[p-W-1..p-2]
+    # plus itself — a fresh prefill of those W+1 tokens at re-based
+    # positions must give the same last-position logits
+    p = 2 * W + 3
+    ctx = toks[:, p - W - 1 : p]
+    ocfg = dataclasses.replace(cfg, max_seq=W + 2)
+    fcache = init_cache(ocfg, 1)
+    flg, _ = forward(ocfg, params, jnp.asarray(ctx), fcache, prefill=True)
+    np.testing.assert_allclose(
+        slide_logits[p][0], np.asarray(flg[0, -1]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_slide_rejects_det8_and_learned_positions():
+    import dataclasses
+
+    cfg = tiny_config(vocab=17, max_seq=16)
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, slide=True, det8=True)
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, slide=True, pos_embedding="learned")
+
+
+def test_slide_container_roundtrip():
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+    from lac_tpu.stream.container import read_container
+
+    data = bytes(range(256)) * 5
+    c = lm_compress_bytes(
+        data, model_ref="prng:tiny:0", block_tokens=300, lanes=2,
+        window_mode="slide", cache_grow=0,
+    )
+    header, _ = read_container(c)
+    assert header.config["window_mode"] == "slide"
+    assert lm_decompress_bytes(c) == data

@@ -20,6 +20,8 @@ MB = int(os.environ.get("LAC_LM_MB", "10"))
 # = the THROUGHPUT config (no re-priming). Probe both via env.
 BLOCK = int(os.environ.get("LAC_LM_BLOCK", "4096"))
 OVERLAP = int(os.environ.get("LAC_LM_OVERLAP", "8"))
+WMODE = os.environ.get("LAC_LM_WMODE", "reprime")  # reprime | slide
+KV8 = bool(int(os.environ.get("LAC_LM_KV8", "0")))
 CKPT = "checkpoints/byte12l-pysrc.npz"
 
 data = bench.build_corpus(MB << 20)
@@ -28,13 +30,16 @@ model = resolve_lm(f"file:{CKPT}", None)
 # warm the executables on a tiny slice so the timed run measures the
 # pipeline, not the one-time compile
 lm_compress_bytes(data[: BLOCK * 256], model_ref=f"file:{CKPT}",
-                  block_tokens=BLOCK, lanes=256, overlap=OVERLAP, model=model)
+                  block_tokens=BLOCK, lanes=256, overlap=OVERLAP, model=model,
+                  window_mode=WMODE, kv8=KV8)
 
 t0 = time.time()
 c = lm_compress_bytes(data, model_ref=f"file:{CKPT}", block_tokens=BLOCK,
-                      lanes=256, overlap=OVERLAP, model=model)
+                      lanes=256, overlap=OVERLAP, model=model,
+                      window_mode=WMODE, kv8=KV8)
 te = time.time() - t0
-print(f"compress {MB} MiB (block {BLOCK} ov {OVERLAP}): {len(data)/te/1e6:.3f} MB/s, "
+print(f"compress {MB} MiB (block {BLOCK} ov {OVERLAP} {WMODE}"
+      f"{' kv8' if KV8 else ''}): {len(data)/te/1e6:.3f} MB/s, "
       f"{8*len(c)/len(data):.4f} bpb ({te:.0f}s)", flush=True)
 t0 = time.time()
 back = lm_decompress_bytes(c, model=model)

@@ -1,0 +1,52 @@
+"""Slide-mode promotion gate (TPU): ratio + wall time vs reprime on the
+EXACT bench.py flagship slice, both flagship checkpoints.
+
+Slide mode (lm_engine window_mode="slide") rings a fixed cfg.max_seq cache
+with global RoPE positions: no re-prime prefills (reprime at ov8 re-encodes
+7 context tokens per coded token) and every token sees the full W-token
+context instead of reprime's keep..W range. Expected: bpb <= the shipped
+reprime figures (byte-16l 0.8769 ov8, byte-12l 0.9339 ov8 float — both
+measured in measurements/r3_kv8_ratio.log) and several-fold faster wall.
+
+Promotion rule: flip bench.py FLAGSHIP_MODE to "slide" iff bpb < shipped
+reprime bpb on this slice. kv8 composes — probe it too (its reprime delta
+was +0.0014-0.0019 bpb).
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from lac_tpu.models.lm_registry import resolve_lm
+from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+
+hdata = bench.heldout_slice()
+print(f"held-out slice: {len(hdata)} bytes", flush=True)
+
+CASES = [
+    ("byte16l", "checkpoints/byte16l-pysrc.npz", 0.8769),
+    ("byte12l", "checkpoints/byte12l-pysrc.npz", 0.9339),
+]
+
+for name, ckpt, shipped in CASES:
+    model = resolve_lm(f"file:{ckpt}", None)
+    for mode, kv8 in (("reprime", False), ("slide", False), ("slide", True)):
+        t0 = time.time()
+        c = lm_compress_bytes(
+            hdata, model_ref=f"file:{ckpt}", block_tokens=bench.FLAGSHIP_BLOCK,
+            lanes=bench.FLAGSHIP_LANES, overlap=bench.FLAGSHIP_OVERLAP,
+            model=model, window_mode=mode, kv8=kv8,
+            cache_grow=0 if mode == "slide" else 128,
+        )
+        te = time.time() - t0
+        t0 = time.time()
+        # the decode handshake upgrades the float model from container flags
+        back = lm_decompress_bytes(c, model=model)
+        td = time.time() - t0
+        ok = back == hdata
+        bpb = 8 * len(c) / len(hdata)
+        tag = f"{name} {mode}{'+kv8' if kv8 else ''}"
+        print(f"{tag}: {bpb:.4f} bpb (shipped reprime {shipped}), "
+              f"enc {te:.0f}s dec {td:.0f}s, exact={ok}", flush=True)
+        assert ok, f"{tag} round-trip mismatch"
