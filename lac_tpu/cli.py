@@ -258,11 +258,13 @@ def main(argv=None) -> int:
                         "width; the schedule is recorded in the container)")
     c.add_argument("--overlap", type=int, default=2,
                    help="window re-prime keep fraction denominator (reference semantics)")
-    c.add_argument("--window-mode", choices=("reprime", "slide"), default="reprime",
+    c.add_argument("--window-mode", choices=("auto", "reprime", "slide"),
+                   default="auto",
                    help="blocks past the model context: reference-style cache "
                         "rebuilds (reprime) or a ring-buffer cache with global "
                         "RoPE positions (slide: no re-prime work, full-window "
-                        "context at every token)")
+                        "context at every token — measured better on ratio AND "
+                        "speed). auto = slide when the model supports it")
     c.add_argument("--w8", action="store_true",
                    help="int8 weights (W8A8 projections): halves per-step "
                         "weight HBM traffic — the dominant cost at 1B+ "

@@ -46,7 +46,10 @@ class LMCodingConfig:
     kv8: bool = False                   # int8 KV cache (float-path speed mode)
     w8: bool = False                    # int8 weights (W8A8 projections)
     cache_grow: int = 128               # KV-cache growth bucket (0 = fixed)
-    window_mode: str = "reprime"        # "reprime" | "slide" (ring cache)
+    window_mode: str = "auto"           # "auto" | "reprime" | "slide" — auto
+                                        # resolves to slide when the model
+                                        # supports it (containers record the
+                                        # RESOLVED mode)
 
     def engine_kwargs(self) -> dict:
         """Keyword mapping for runtime.lm_api.lm_compress_bytes. ``window``

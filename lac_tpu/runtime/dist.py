@@ -189,6 +189,9 @@ def lm_compress_distributed(
         cache_grow = GROW_BUCKET
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
+    from .lm_api import _resolve_window_mode
+
+    window_mode = _resolve_window_mode(window_mode, cfg)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)

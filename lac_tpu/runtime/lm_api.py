@@ -137,6 +137,19 @@ def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False,
     return cfg
 
 
+def _resolve_window_mode(window_mode: str, cfg) -> str:
+    """Resolve "auto" to the best supported mode for this model: slide
+    (measured better ratio AND wall at both flagship scales,
+    measurements/r3_slide.log) whenever the forward supports it — rope
+    positions and not det8 — else reprime. Containers record the RESOLVED
+    mode, never "auto"."""
+    if window_mode != "auto":
+        return window_mode
+    if cfg.det8 or cfg.pos_embedding != "rope":
+        return "reprime"
+    return "slide"
+
+
 def lm_compress_bytes(
     data: bytes,
     model_ref: str = "prng:tiny:0",
@@ -164,12 +177,16 @@ def lm_compress_bytes(
     traffic ~1.4-1.9x. Recorded in the container (schedule = bitstream);
     0 disables (legacy fixed-width graphs).
     window_mode: how blocks longer than the model context are coded —
-    "reprime" (reference-style cache rebuilds every window/overlap tokens)
-    or "slide" (ring-buffer cache, no re-prime work, full-window context at
-    every token; see lm_engine.lm_encode_windowed). Recorded in the
-    container; only meaningful when block_tokens > the model context."""
+    "reprime" (reference-style cache rebuilds every window/overlap tokens),
+    "slide" (ring-buffer cache, no re-prime work, full-window context at
+    every token; see lm_engine.lm_encode_windowed), or "auto" (slide when
+    the model supports it — rope positions, not det8 — else reprime; the
+    RESOLVED mode is what the container records). Only meaningful when
+    block_tokens > the model context. Slide measured better on both axes
+    (ratio and wall) at both flagship scales: measurements/r3_slide.log."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
+    window_mode = _resolve_window_mode(window_mode, cfg)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -327,6 +344,7 @@ def lm_compress_tokens(
     ~ceil(log2(V)/8) bytes/token, never more."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
+    window_mode = _resolve_window_mode(window_mode, cfg)
     arr = np.ascontiguousarray(tokens, dtype=np.int32)
     if arr.ndim != 1:
         raise ValueError(f"tokens must be 1-D, got shape {arr.shape}")

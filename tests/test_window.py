@@ -181,3 +181,31 @@ def test_slide_container_roundtrip():
     header, _ = read_container(c)
     assert header.config["window_mode"] == "slide"
     assert lm_decompress_bytes(c) == data
+
+
+def test_window_mode_auto_resolution():
+    """auto -> slide for rope float models, reprime for det8/learned; the
+    container records the RESOLVED mode."""
+    import dataclasses
+
+    from lac_tpu.runtime.lm_api import _resolve_window_mode
+    from lac_tpu.models.transformer import tiny_config
+
+    cfg = tiny_config(vocab=300)
+    assert _resolve_window_mode("auto", cfg) == "slide"
+    assert _resolve_window_mode("auto", dataclasses.replace(cfg, det8=True)) == "reprime"
+    assert _resolve_window_mode(
+        "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
+    assert _resolve_window_mode("reprime", cfg) == "reprime"
+
+
+def test_auto_container_records_resolved_mode():
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+    from lac_tpu.stream.container import read_container
+
+    data = bytes(range(256)) * 4
+    c = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=300,
+                          lanes=2, window_mode="auto", cache_grow=0)
+    header, _ = read_container(c)
+    assert header.config["window_mode"] == "slide"
+    assert lm_decompress_bytes(c) == data

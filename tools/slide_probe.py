@@ -12,6 +12,7 @@ Promotion rule: flip bench.py FLAGSHIP_MODE to "slide" iff bpb < shipped
 reprime bpb on this slice. kv8 composes — probe it too (its reprime delta
 was +0.0014-0.0019 bpb).
 """
+import os
 import sys
 import time
 
@@ -21,8 +22,15 @@ import bench
 from lac_tpu.models.lm_registry import resolve_lm
 from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
 
+# block/lanes overridable: bigger slide blocks cut the per-block cold-start
+# fraction (the first W tokens of every block see < W context)
+BLOCK = int(os.environ.get("LAC_SLIDE_BLOCK", str(bench.FLAGSHIP_BLOCK)))
+LANES = int(os.environ.get("LAC_SLIDE_LANES", str(bench.FLAGSHIP_LANES)))
+MODES = os.environ.get("LAC_SLIDE_MODES", "reprime,slide,slide+kv8").split(",")
+
 hdata = bench.heldout_slice()
-print(f"held-out slice: {len(hdata)} bytes", flush=True)
+print(f"held-out slice: {len(hdata)} bytes, block {BLOCK} lanes {LANES}",
+      flush=True)
 
 CASES = [
     ("byte16l", "checkpoints/byte16l-pysrc.npz", 0.8769),
@@ -31,11 +39,12 @@ CASES = [
 
 for name, ckpt, shipped in CASES:
     model = resolve_lm(f"file:{ckpt}", None)
-    for mode, kv8 in (("reprime", False), ("slide", False), ("slide", True)):
+    for m in MODES:
+        mode, kv8 = (m.split("+")[0], "+kv8" in m)
         t0 = time.time()
         c = lm_compress_bytes(
-            hdata, model_ref=f"file:{ckpt}", block_tokens=bench.FLAGSHIP_BLOCK,
-            lanes=bench.FLAGSHIP_LANES, overlap=bench.FLAGSHIP_OVERLAP,
+            hdata, model_ref=f"file:{ckpt}", block_tokens=BLOCK,
+            lanes=LANES, overlap=bench.FLAGSHIP_OVERLAP,
             model=model, window_mode=mode, kv8=kv8,
             cache_grow=0 if mode == "slide" else 128,
         )
