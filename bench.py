@@ -33,15 +33,17 @@ FLAGSHIP_CKPTS = (
     "/root/repo/checkpoints/byte16l-pysrc.npz",
     "/root/repo/checkpoints/byte12l-pysrc.npz",
 )
-# Shipped flagship figure (BASELINE.md: byte-16l, block 4096, window 1024,
-# slide mode on heldout_slice() — measurements/r3_slide.log, which also
-# gated slide vs reprime: 0.8758 vs 0.8769/0.8776 and ~3x faster decode).
+# Shipped flagship figure (BASELINE.md: byte-16l, block 16384, window 1024,
+# slide mode on heldout_slice() — measurements/r3_slide_b16k.log). The gate
+# history: slide beat reprime at block 4096 (0.8758 vs 0.8769/0.8776,
+# r3_slide.log), then block 16384 cut the per-block cold-start fraction
+# 25%->6% for 0.8188 (lanes 16 tiles the 256 KiB slice exactly).
 # Promotion gates compare against this.
-SHIPPED_FLAGSHIP_BPB = 0.8758
+SHIPPED_FLAGSHIP_BPB = 0.8188
 
 # Shipped flagship coding config (must match the BASELINE.md row).
-FLAGSHIP_BLOCK = 4096
-FLAGSHIP_LANES = 64
+FLAGSHIP_BLOCK = 16384
+FLAGSHIP_LANES = 16
 FLAGSHIP_OVERLAP = 8          # used by the reprime fallback only
 FLAGSHIP_WINDOW_MODE = "slide"
 

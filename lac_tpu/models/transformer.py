@@ -124,18 +124,21 @@ class LMConfig:
     # W/overlap coded). Each token gets the FULL W-token context instead of
     # reprime's W-W/overlap..W range, and layer-l representations carry
     # receptive fields beyond the window (Transformer-XL-style evaluation).
-    # Requires rope positions (a learned table would index out of range) and
-    # excludes det8 for now (its host RoPE tables stop at max_seq and its
-    # chunked encode would wrap mid-chunk). Composes with w8/kv8.
+    # Requires rope positions (a learned table would index out of range).
+    # Composes with w8/kv8 and with det8 (whose host RoPE tables are sized
+    # by ``rope_positions`` and whose chunked encode splits chunks at ring
+    # boundaries + applies the ring-age mask — see _attention).
     slide: bool = False
+    # Global-position bound for det8's host RoPE tables under slide (the
+    # float path computes trig on the fly and ignores this). 0 = max_seq.
+    # The engine sets it to the block length when building the slide cfg.
+    rope_positions: int = 0
 
     def __post_init__(self):
         if self.det8 and (self.w8 or self.kv8):
             raise ValueError(
                 "det8 is mutually exclusive with w8/kv8 (it quantizes on its own)"
             )
-        if self.slide and self.det8:
-            raise ValueError("slide mode does not support det8 yet")
         if self.slide and self.pos_embedding != "rope":
             raise ValueError("slide mode requires rope positions")
 
@@ -310,7 +313,8 @@ def _rope(cfg: LMConfig, x: jax.Array, positions: jax.Array) -> jax.Array:
     hd = x.shape[-1]
     half = hd // 2
     if cfg.det8:
-        tc, ts = _rope_table(cfg.max_seq, hd, cfg.rope_theta)
+        tc, ts = _rope_table(max(cfg.max_seq, cfg.rope_positions), hd,
+                             cfg.rope_theta)
         cos = jnp.take(jnp.asarray(tc), positions, axis=0)[None, :, None, :]
         sin = jnp.take(jnp.asarray(ts), positions, axis=0)[None, :, None, :]
     else:
@@ -675,6 +679,18 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
             sc = sc * scale
         w_ids = jnp.arange(w_len, dtype=jnp.int32)[None, None, None, None, :]
         sc = jnp.where(w_ids < pos, sc, f32(-jnp.inf))
+        if cfg.slide and s > 1:
+            # ring-age mask: a chunked forward under slide freezes the cache
+            # at chunk start ``pos``, but serial stepping evicts one slot per
+            # step — chunk query i must NOT see the i oldest slots or chunked
+            # bits diverge from serial decode. Slot w holds global index
+            # t0-W + ((w - t0) mod W), so keep it for query i iff
+            # ((w - t0) mod W) >= i. Exact no-op for i=0 and for chunks
+            # inside the first window (callers split chunks at ring
+            # boundaries so a chunk never wraps mid-write).
+            age = jnp.mod(w_ids - pos, jnp.int32(w_len))
+            q_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, :, None]
+            sc = jnp.where(age >= q_ids, sc, f32(-jnp.inf))
         if cfg.det8:
             # cap=2*W pins the softmax quantization exponent across score-axis
             # lengths (W+s for any s <= W), and the cached attn-out splits the

@@ -141,11 +141,12 @@ def _resolve_window_mode(window_mode: str, cfg) -> str:
     """Resolve "auto" to the best supported mode for this model: slide
     (measured better ratio AND wall at both flagship scales,
     measurements/r3_slide.log) whenever the forward supports it — rope
-    positions and not det8 — else reprime. Containers record the RESOLVED
-    mode, never "auto"."""
+    positions (det8 included: its chunked encode stays bit-identical over
+    the ring, tests/test_det_chunked.py) — else reprime. Containers record
+    the RESOLVED mode, never "auto"."""
     if window_mode != "auto":
         return window_mode
-    if cfg.det8 or cfg.pos_embedding != "rope":
+    if cfg.pos_embedding != "rope":
         return "reprime"
     return "slide"
 

@@ -102,17 +102,28 @@ def _chunk_intervals(cfg: LMConfig, params, cache, prev, tokens_seg, prob_bits: 
     return cache, tokens_seg[:, -1], lo.astype(jnp.int32), f.astype(jnp.int32)
 
 
-def _seg_intervals_chunked(cfg: LMConfig, params, cache, prev, seg_toks, prob_bits: int):
+def _seg_intervals_chunked(cfg: LMConfig, params, cache, prev, seg_toks, prob_bits: int,
+                           ring: int = 0):
     """Drive _chunk_intervals over a segment in fixed-size chunks (python
-    loop over static shapes: one compile per (chunk, tail) shape)."""
+    loop over static shapes: one compile per (chunk, tail) shape).
+
+    ``ring``: cache width under slide mode — chunks additionally split at
+    ring boundaries so a chunk's cache write never wraps mid-DUS (the chunk
+    layout is a pure function of (steps, chunk, ring): schedule =
+    bitstream)."""
     steps = seg_toks.shape[1]
     chunk = min(_det_chunk(), steps)
     los, fs = [], []
-    for i in range(0, steps, chunk):
-        sub = seg_toks[:, i : min(i + chunk, steps)]
+    i = 0
+    while i < steps:
+        n = min(chunk, steps - i)
+        if ring:
+            n = min(n, ring - (i % ring))
+        sub = seg_toks[:, i : i + n]
         cache, prev, lo, f = _chunk_intervals(cfg, params, cache, prev, sub, prob_bits)
         los.append(lo)
         fs.append(f)
+        i += n
     return cache, prev, jnp.concatenate(los, axis=1), jnp.concatenate(fs, axis=1)
 
 
@@ -123,6 +134,18 @@ def _encode_intervals_det(cfg: LMConfig, params, tokens, prob_bits: int):
     cache = init_cache(cfg, b, -(-tokens.shape[1] // 128) * 128)
     prev0 = jnp.full((b,), cfg.bos_id, dtype=jnp.int32)
     _, _, lo, f = _seg_intervals_chunked(cfg, params, cache, prev0, tokens, prob_bits)
+    return lo, f
+
+
+def _encode_intervals_det_slide(scfg: LMConfig, params, tokens, prob_bits: int):
+    """det8 slide-mode interval collection: one W-wide ring cache, chunks
+    split at ring boundaries (scfg must carry slide=True and rope_positions
+    sized to the block — _slide_cfg)."""
+    b = tokens.shape[0]
+    cache = init_cache(scfg, b)  # width = max_seq: the ring
+    prev0 = jnp.full((b,), scfg.bos_id, dtype=jnp.int32)
+    _, _, lo, f = _seg_intervals_chunked(
+        scfg, params, cache, prev0, tokens, prob_bits, ring=scfg.max_seq)
     return lo, f
 
 
@@ -359,12 +382,15 @@ def _reprime_cdf(cfg: LMConfig, params, kept_tokens, prob_bits: int):
     return cdf_from_freq(freq), cache
 
 
-def _slide_cfg(cfg: LMConfig) -> LMConfig:
+def _slide_cfg(cfg: LMConfig, t_len: int = 0) -> LMConfig:
     """Coding-time upgrade to the ring-buffer forward (LMConfig.slide);
-    raises for det8/learned-position models via LMConfig.__post_init__."""
+    raises for learned-position models via LMConfig.__post_init__.
+    ``t_len`` sizes det8's host RoPE tables (global positions reach the
+    block length under slide; the float path ignores it)."""
     import dataclasses
 
-    return dataclasses.replace(cfg, slide=True)
+    return dataclasses.replace(
+        cfg, slide=True, rope_positions=t_len if cfg.det8 else 0)
 
 
 @x64
@@ -397,9 +423,15 @@ def lm_encode_windowed(
             lo, f = _encode_intervals(cfg, params, tokens, lengths, prob_bits)
         return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
     if mode == "slide":
-        scfg = _slide_cfg(cfg)
-        lo, f = _encode_intervals(scfg, params, tokens, lengths, prob_bits,
-                                  window=cfg.max_seq)
+        scfg = _slide_cfg(cfg, t_len)
+        if cfg.det8:
+            # chunked det8 encode over the ring: bit-identical to the serial
+            # decode (ring-age mask + ring-aligned chunks, transformer
+            # _attention; same int32 reductions and softmax cap both sides)
+            lo, f = _encode_intervals_det_slide(scfg, params, tokens, prob_bits)
+        else:
+            lo, f = _encode_intervals(scfg, params, tokens, lengths, prob_bits,
+                                      window=cfg.max_seq)
         return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
     if mode != "reprime":
         raise ValueError(f"unknown window mode: {mode!r}")
@@ -470,7 +502,7 @@ def lm_decode_windowed(
                                       t_len, cache_grow)
         return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
     if mode == "slide":
-        scfg = _slide_cfg(cfg)
+        scfg = _slide_cfg(cfg, t_len)
         return _decode_scan(scfg, params, words, lengths, prob_bits, t_len,
                             window=cfg.max_seq)
     if mode != "reprime":

@@ -201,3 +201,67 @@ def test_det8_bf16_chunk_matches_serial_logits():
         outs.append(np.asarray(lg)[:, 0])
     serial = np.stack(outs, axis=1)
     assert np.array_equal(np.asarray(chunk_logits), serial)
+
+
+# --------------------------------------------------------------------------
+# det8 + slide: the chunked encode must stay bit-identical to the serial
+# decode across the ring (ring-age mask + ring-aligned chunk splits).
+# --------------------------------------------------------------------------
+
+
+def _det_slide_case(t_len=40, w=16, seed=0, vocab=41):
+    import jax
+
+    from lac_tpu.models.transformer import init_params, tiny_config
+
+    cfg = tiny_config(vocab=vocab, max_seq=w, det8=True)
+    params = init_params(
+        tiny_config(vocab=vocab, max_seq=w), jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed + 1)
+    tokens = rng.integers(0, vocab, (2, t_len)).astype(np.int32)
+    lengths = np.full(2, t_len, dtype=np.int32)
+    return cfg, params, tokens, lengths
+
+
+def test_det8_slide_roundtrip_across_wraps():
+    """Encode is chunked (prefill-shaped), decode is serial, the block wraps
+    the ring multiple times — the round-trip being exact IS the bit-identity
+    proof (any CDF divergence derails the rANS stream catastrophically)."""
+    from lac_tpu.runtime.lm_engine import lm_decode_windowed, lm_encode_windowed
+
+    cfg, params, tokens, lengths = _det_slide_case(t_len=40, w=16)
+    pb = 14
+    words, _ = lm_encode_windowed(cfg, params, tokens, lengths, pb, mode="slide")
+    out = np.asarray(lm_decode_windowed(
+        cfg, params, np.asarray(words), lengths, pb, 40, mode="slide"))
+    assert (out == tokens).all()
+
+
+def test_det8_slide_chunk_size_invariant(monkeypatch):
+    """The bitstream must not depend on the encode chunk geometry (det8's
+    core contract, extended over the ring)."""
+    from lac_tpu.runtime.lm_engine import lm_encode_windowed
+
+    cfg, params, tokens, lengths = _det_slide_case(t_len=37, w=16, seed=3)
+    outs = []
+    for chunk in ("5", "16"):
+        monkeypatch.setenv("LAC_DET_ENCODE_CHUNK", chunk)
+        w, n = lm_encode_windowed(cfg, params, tokens, lengths, 14, mode="slide")
+        outs.append((np.asarray(w), np.asarray(n)))
+    assert (outs[0][1] == outs[1][1]).all()
+    assert (outs[0][0] == outs[1][0]).all()
+
+
+def test_det8_slide_container_and_auto():
+    """det8 + window_mode auto resolves to slide (gated by these tests) and
+    the container round-trips."""
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+    from lac_tpu.stream.container import read_container
+
+    data = bytes(range(256)) * 4
+    c = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=300,
+                          lanes=2, det8=True, window_mode="auto", cache_grow=0)
+    header, _ = read_container(c)
+    assert header.config["window_mode"] == "slide"
+    assert header.config["det8"] is True
+    assert lm_decompress_bytes(c) == data

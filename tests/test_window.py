@@ -159,12 +159,10 @@ def test_slide_ring_semantics_one_layer():
     )
 
 
-def test_slide_rejects_det8_and_learned_positions():
+def test_slide_rejects_learned_positions():
     import dataclasses
 
     cfg = tiny_config(vocab=17, max_seq=16)
-    with pytest.raises(ValueError):
-        dataclasses.replace(cfg, slide=True, det8=True)
     with pytest.raises(ValueError):
         dataclasses.replace(cfg, slide=True, pos_embedding="learned")
 
@@ -193,7 +191,8 @@ def test_window_mode_auto_resolution():
 
     cfg = tiny_config(vocab=300)
     assert _resolve_window_mode("auto", cfg) == "slide"
-    assert _resolve_window_mode("auto", dataclasses.replace(cfg, det8=True)) == "reprime"
+    # det8 composes with slide (ring-age mask keeps chunked == serial bits)
+    assert _resolve_window_mode("auto", dataclasses.replace(cfg, det8=True)) == "slide"
     assert _resolve_window_mode(
         "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
     assert _resolve_window_mode("reprime", cfg) == "reprime"
