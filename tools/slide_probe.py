@@ -40,12 +40,12 @@ CASES = [
 for name, ckpt, shipped in CASES:
     model = resolve_lm(f"file:{ckpt}", None)
     for m in MODES:
-        mode, kv8 = (m.split("+")[0], "+kv8" in m)
+        mode, kv8, det8 = (m.split("+")[0], "+kv8" in m, "+det8" in m)
         t0 = time.time()
         c = lm_compress_bytes(
             hdata, model_ref=f"file:{ckpt}", block_tokens=BLOCK,
             lanes=LANES, overlap=bench.FLAGSHIP_OVERLAP,
-            model=model, window_mode=mode, kv8=kv8,
+            model=model, window_mode=mode, kv8=kv8, det8=det8,
             cache_grow=0 if mode == "slide" else 128,
         )
         te = time.time() - t0
@@ -55,7 +55,7 @@ for name, ckpt, shipped in CASES:
         td = time.time() - t0
         ok = back == hdata
         bpb = 8 * len(c) / len(hdata)
-        tag = f"{name} {mode}{'+kv8' if kv8 else ''}"
+        tag = f"{name} {mode}{'+kv8' if kv8 else ''}{'+det8' if det8 else ''}"
         print(f"{tag}: {bpb:.4f} bpb (shipped reprime {shipped}), "
               f"enc {te:.0f}s dec {td:.0f}s, exact={ok}", flush=True)
         assert ok, f"{tag} round-trip mismatch"
