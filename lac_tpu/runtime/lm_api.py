@@ -140,13 +140,20 @@ def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False,
 def _resolve_window_mode(window_mode: str, cfg) -> str:
     """Resolve "auto" to the best supported mode for this model: slide
     (measured better ratio AND wall at both flagship scales,
-    measurements/r3_slide.log) whenever the forward supports it — rope
-    positions (det8 included: its chunked encode stays bit-identical over
-    the ring, tests/test_det_chunked.py) — else reprime. Containers record
-    the RESOLVED mode, never "auto"."""
+    measurements/r3_slide.log) for rope float models, reprime otherwise.
+
+    det8 resolves to reprime even though det8+slide is implemented and
+    CPU-bit-exact (tests/test_det_chunked.py): the det8 SERIAL decode over
+    long slide scans reproducibly crashed the TPU WORKER at blocks 4096 and
+    16384 (measurements/r3_slide_det8*.log, "TPU worker process crashed or
+    restarted"; encode fine, float slide fine) — auto must never route a
+    container into a decode that kills the device runtime. Explicit
+    window_mode="slide" with det8 stays available for non-TPU backends and
+    for when the worker fault is fixed. Containers record the RESOLVED
+    mode, never "auto"."""
     if window_mode != "auto":
         return window_mode
-    if cfg.pos_embedding != "rope":
+    if cfg.det8 or cfg.pos_embedding != "rope":
         return "reprime"
     return "slide"
 

@@ -252,16 +252,23 @@ def test_det8_slide_chunk_size_invariant(monkeypatch):
     assert (outs[0][0] == outs[1][0]).all()
 
 
-def test_det8_slide_container_and_auto():
-    """det8 + window_mode auto resolves to slide (gated by these tests) and
-    the container round-trips."""
+def test_det8_slide_container_explicit():
+    """det8 with EXPLICIT slide round-trips through the container (CPU
+    bit-identity); auto resolves det8 to reprime because the det8 slide
+    serial decode crashed the TPU worker (measurements/r3_slide_det8*.log)."""
     from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
     from lac_tpu.stream.container import read_container
 
     data = bytes(range(256)) * 4
     c = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=300,
-                          lanes=2, det8=True, window_mode="auto", cache_grow=0)
+                          lanes=2, det8=True, window_mode="slide", cache_grow=0)
     header, _ = read_container(c)
     assert header.config["window_mode"] == "slide"
     assert header.config["det8"] is True
     assert lm_decompress_bytes(c) == data
+
+    c2 = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=300,
+                           lanes=2, det8=True, window_mode="auto", cache_grow=0)
+    header2, _ = read_container(c2)
+    assert header2.config["window_mode"] == "reprime"
+    assert lm_decompress_bytes(c2) == data
