@@ -22,6 +22,9 @@ BLOCK = int(os.environ.get("LAC_LM_BLOCK", "4096"))
 OVERLAP = int(os.environ.get("LAC_LM_OVERLAP", "8"))
 WMODE = os.environ.get("LAC_LM_WMODE", "reprime")  # reprime | slide
 KV8 = bool(int(os.environ.get("LAC_LM_KV8", "0")))
+# wave width: block 16384 x lanes 256 crashed the TPU worker (queue5);
+# block 16384 x lanes 16 works (r3_slide_b16k.log) — probe the middle
+LANES = int(os.environ.get("LAC_LM_LANES", "256"))
 CKPT = "checkpoints/byte12l-pysrc.npz"
 
 data = bench.build_corpus(MB << 20)
@@ -30,12 +33,12 @@ model = resolve_lm(f"file:{CKPT}", None)
 # warm the executables on a tiny slice so the timed run measures the
 # pipeline, not the one-time compile
 lm_compress_bytes(data[: BLOCK * 256], model_ref=f"file:{CKPT}",
-                  block_tokens=BLOCK, lanes=256, overlap=OVERLAP, model=model,
+                  block_tokens=BLOCK, lanes=LANES, overlap=OVERLAP, model=model,
                   window_mode=WMODE, kv8=KV8)
 
 t0 = time.time()
 c = lm_compress_bytes(data, model_ref=f"file:{CKPT}", block_tokens=BLOCK,
-                      lanes=256, overlap=OVERLAP, model=model,
+                      lanes=LANES, overlap=OVERLAP, model=model,
                       window_mode=WMODE, kv8=KV8)
 te = time.time() - t0
 print(f"compress {MB} MiB (block {BLOCK} ov {OVERLAP} {WMODE}"
