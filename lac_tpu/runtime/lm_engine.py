@@ -469,6 +469,32 @@ def lm_encode_windowed(
     return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
 
 
+# det8+slide decode segment length: two shapes max per run (seg + tail).
+# 512 matches the segment scale the reprime det8 path runs without faulting.
+_SLIDE_SEG = 512
+
+
+def _decode_scan_slide_seg(scfg: LMConfig, params, words, lengths,
+                           prob_bits: int, t_len: int):
+    """Serial slide-mode decode in bounded-scan segments (det8 only: float
+    logits are only guaranteed reproducible within ONE compiled schedule, so
+    the float slide path keeps the single-scan graph)."""
+    b = words.shape[0]
+    cache = init_cache(scfg, b)  # width = max_seq: the ring
+    prev = jnp.full((b,), scfg.bos_id, dtype=jnp.int32)
+    rstate = rans_decode_init.__wrapped__(words)
+    outs = []
+    i = 0
+    while i < t_len:
+        n = min(_SLIDE_SEG, t_len - i)
+        cache, prev, rstate, syms = _seg_decode(
+            scfg, params, cache, prev, rstate, prob_bits, n, jnp.int32(i),
+            lengths)
+        outs.append(syms)
+        i += n
+    return jnp.concatenate(outs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
 def _seg_decode(cfg: LMConfig, params, cache, prev, rstate, prob_bits: int, steps: int, t0, lengths):
     # words stays a scan constant (see _decode_scan); only (x, pos) carry
@@ -503,6 +529,18 @@ def lm_decode_windowed(
         return _decode_scan(cfg, params, words, lengths, prob_bits, t_len)
     if mode == "slide":
         scfg = _slide_cfg(cfg, t_len)
+        if cfg.det8:
+            # segmented serial decode: bit-identical to one t_len-long scan
+            # (det8 steps are shape/schedule-invariant — the same property
+            # behind chunked encode), but each executable scans <= _SLIDE_SEG
+            # steps. The single long scan det8+slide program reproducibly
+            # crashes the TPU worker ("kernel fault";
+            # measurements/r3_slide_det8*.log) while the same step function
+            # in bounded segments (reprime windowed det8) does not — this
+            # routes around the faulting program shape without touching the
+            # bitstream.
+            return _decode_scan_slide_seg(scfg, params, words, lengths,
+                                          prob_bits, t_len)
         return _decode_scan(scfg, params, words, lengths, prob_bits, t_len,
                             window=cfg.max_seq)
     if mode != "reprime":
