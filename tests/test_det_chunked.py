@@ -272,3 +272,25 @@ def test_det8_slide_container_explicit():
     header2, _ = read_container(c2)
     assert header2.config["window_mode"] == "reprime"
     assert lm_decompress_bytes(c2) == data
+
+
+def test_det8_slide_decode_segment_size_invariant(monkeypatch):
+    """Slide-mode det8 decode runs in bounded-scan segments (the single
+    long-scan program crashes the TPU worker — lm_engine
+    _decode_scan_slide_seg). The segment length must not change the decoded
+    bits: same per-step computation, det8 shape invariance."""
+    from lac_tpu.runtime import lm_engine
+    from lac_tpu.runtime.lm_engine import lm_decode_windowed, lm_encode_windowed
+
+    cfg, params, tokens, lengths = _det_slide_case(t_len=37, w=16, seed=5)
+    w, _ = lm_encode_windowed(cfg, params, tokens, lengths, 14, mode="slide")
+    wn = np.asarray(w)
+    outs = []
+    for seg in (7, 16, 512):  # uneven tail / ring-aligned / one segment
+        monkeypatch.setattr(lm_engine, "_SLIDE_SEG", seg)
+        out = np.asarray(lm_decode_windowed(
+            cfg, params, wn, lengths, 14, 37, mode="slide"))
+        assert (out == tokens).all(), f"seg={seg} round-trip mismatch"
+        outs.append(out)
+    for o in outs[1:]:
+        assert (o == outs[0]).all()
