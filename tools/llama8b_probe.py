@@ -29,10 +29,13 @@ from lac_tpu.runtime.lm_engine import lm_decode, lm_encode
 
 B = int(os.environ.get("LAC_8B_B", "4"))
 T = int(os.environ.get("LAC_8B_T", "128"))
-PB = 17
 
 cfg = PRESETS["llama3-8b"]()
 cfg = dataclasses.replace(cfg, max_seq=T)
+from lac_tpu.runtime.lm_api import auto_prob_bits
+
+PB = auto_prob_bits(cfg, 16)  # 128256-token vocab -> 18
+print(f"prob_bits {PB}", flush=True)
 
 rng = np.random.default_rng(0)
 toks = rng.integers(0, cfg.vocab, (B, T)).astype(np.int32)
