@@ -140,20 +140,19 @@ def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False,
 def _resolve_window_mode(window_mode: str, cfg) -> str:
     """Resolve "auto" to the best supported mode for this model: slide
     (measured better ratio AND wall at both flagship scales,
-    measurements/r3_slide.log) for rope float models, reprime otherwise.
+    measurements/r3_slide.log) for rope models — including det8 — reprime
+    for learned-position models.
 
-    det8 resolves to reprime even though det8+slide is implemented and
-    CPU-bit-exact (tests/test_det_chunked.py): the det8 SERIAL decode over
-    long slide scans reproducibly crashed the TPU WORKER at blocks 4096 and
-    16384 (measurements/r3_slide_det8*.log, "TPU worker process crashed or
-    restarted"; encode fine, float slide fine) — auto must never route a
-    container into a decode that kills the device runtime. Explicit
-    window_mode="slide" with det8 stays available for non-TPU backends and
-    for when the worker fault is fixed. Containers record the RESOLVED
-    mode, never "auto"."""
+    History: det8 resolved to reprime for part of round 3 because the det8
+    serial decode as ONE long scan reproducibly crashed the TPU worker
+    (measurements/r3_slide_det8*.log). The decode now runs in bounded-scan
+    segments (lm_engine._decode_scan_slide_seg — bit-identical by det8's
+    shape invariance), which the bisect and the flagship-scale probe run
+    clean (r3_det8_bisect.log; r3_slide_det8_seg.log: 0.8758 bpb block 4096
+    lanes 64, exact). Containers record the RESOLVED mode, never "auto"."""
     if window_mode != "auto":
         return window_mode
-    if cfg.det8 or cfg.pos_embedding != "rope":
+    if cfg.pos_embedding != "rope":
         return "reprime"
     return "slide"
 
@@ -187,8 +186,8 @@ def lm_compress_bytes(
     window_mode: how blocks longer than the model context are coded —
     "reprime" (reference-style cache rebuilds every window/overlap tokens),
     "slide" (ring-buffer cache, no re-prime work, full-window context at
-    every token; see lm_engine.lm_encode_windowed), or "auto" (slide when
-    the model supports it — rope positions, not det8 — else reprime; the
+    every token; see lm_engine.lm_encode_windowed), or "auto" (slide for
+    rope-position models — det8 included — else reprime; the
     RESOLVED mode is what the container records). Only meaningful when
     block_tokens > the model context. Slide measured better on both axes
     (ratio and wall) at both flagship scales: measurements/r3_slide.log."""

@@ -253,9 +253,10 @@ def test_det8_slide_chunk_size_invariant(monkeypatch):
 
 
 def test_det8_slide_container_explicit():
-    """det8 with EXPLICIT slide round-trips through the container (CPU
-    bit-identity); auto resolves det8 to reprime because the det8 slide
-    serial decode crashed the TPU worker (measurements/r3_slide_det8*.log)."""
+    """det8 slide round-trips through the container, and auto now resolves
+    det8 to slide too (the worker-crashing single-scan decode was replaced
+    by bounded segments — lm_engine._decode_scan_slide_seg, TPU-proven in
+    measurements/r3_slide_det8_seg.log)."""
     from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
     from lac_tpu.stream.container import read_container
 
@@ -270,7 +271,7 @@ def test_det8_slide_container_explicit():
     c2 = lm_compress_bytes(data, model_ref="prng:tiny:0", block_tokens=300,
                            lanes=2, det8=True, window_mode="auto", cache_grow=0)
     header2, _ = read_container(c2)
-    assert header2.config["window_mode"] == "reprime"
+    assert header2.config["window_mode"] == "slide"
     assert lm_decompress_bytes(c2) == data
 
 

@@ -191,10 +191,10 @@ def test_window_mode_auto_resolution():
 
     cfg = tiny_config(vocab=300)
     assert _resolve_window_mode("auto", cfg) == "slide"
-    # det8+slide is implemented (bit-exact on CPU) but its serial decode
-    # crashed the TPU worker (measurements/r3_slide_det8*.log): auto stays
-    # on reprime for det8; explicit "slide" remains available
-    assert _resolve_window_mode("auto", dataclasses.replace(cfg, det8=True)) == "reprime"
+    # det8+slide decodes in bounded-scan segments (the single long-scan
+    # program crashed the TPU worker; lm_engine._decode_scan_slide_seg) —
+    # auto routes det8 to slide like the float rope path
+    assert _resolve_window_mode("auto", dataclasses.replace(cfg, det8=True)) == "slide"
     assert _resolve_window_mode(
         "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
     assert _resolve_window_mode("reprime", cfg) == "reprime"
