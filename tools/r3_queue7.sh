@@ -7,8 +7,15 @@
 #    block (r3_slide_b16k.log); this bisects the wave width.
 # 3. TinyLlama B=256 fourth attempt (three prior wedges were the
 #    service-side first-compile stall class; budget one stall).
+# 0. det8+slide with the SEGMENTED serial decode (lm_engine
+#    _decode_scan_slide_seg): the single long-scan decode program crashes
+#    the worker at every tried size; bounded segments (the reprime det8
+#    path's shape class) decode 4096 tokens fine (r3_det8_bisect.log).
 cd /root/repo
 set -x
+LAC_SLIDE_BLOCK=4096 LAC_SLIDE_LANES=64 LAC_SLIDE_MODES=slide+det8 timeout 3600 \
+  python tools/slide_probe.py \
+  > measurements/r3_slide_det8_seg.log 2>&1; echo "rc=$?" >> measurements/r3_slide_det8_seg.log
 LAC_8B_B=4 timeout 3600 python tools/llama8b_probe.py \
   > measurements/r3_llama8b.log 2>&1; echo "rc=$?" >> measurements/r3_llama8b.log
 LAC_LM_WMODE=slide LAC_LM_BLOCK=16384 LAC_LM_LANES=64 timeout 5400 \
