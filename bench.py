@@ -284,6 +284,23 @@ def main() -> int:
             "lm_trained_window_mode": FLAGSHIP_WINDOW_MODE,
         })
 
+    @section("lm_tinyllama")
+    def _lm_tinyllama():
+        # BASELINE config #3 (TinyLlama batched block-parallel coding) in a
+        # subprocess under a hard timeout, like the 7B row: B=256
+        # first-compiles wedged 4x across rounds 2-3 (service-side stall),
+        # so the row runs the proven B=128 shapes; the persistent compile
+        # cache makes it cheap when the round's probes already built them
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_tinyllama_row.py"],
+            capture_output=True, text=True, timeout=1500,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"tinyllama row rc={r.returncode}: {r.stderr[-300:]}")
+        detail.update(json.loads(r.stdout.strip().splitlines()[-1]))
+
     @section("lm_7b")
     def _lm7b():
         # flagship-scale capability row (BASELINE config #4): runs in a

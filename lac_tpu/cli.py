@@ -40,6 +40,7 @@ def _cmd_compress(args) -> int:
             w8=args.w8,
             cache_grow=args.cache_grow,
             window_mode=args.window_mode,
+            slide_seg=args.slide_seg,
         )
         out = lm_compress_bytes(data, mesh=_make_mesh_arg(args), **cfg.engine_kwargs())
     else:
@@ -265,6 +266,10 @@ def main(argv=None) -> int:
                         "RoPE positions (slide: no re-prime work, full-window "
                         "context at every token — measured better on ratio AND "
                         "speed). auto = slide when the model supports it")
+    c.add_argument("--slide-seg", type=int, default=None, metavar="S",
+                   help="float slide-mode scan segment length (default: engine "
+                        "default; 0 = legacy single-scan graphs; recorded in "
+                        "the container)")
     c.add_argument("--w8", action="store_true",
                    help="int8 weights (W8A8 projections): halves per-step "
                         "weight HBM traffic — the dominant cost at 1B+ "

@@ -50,6 +50,9 @@ class LMCodingConfig:
                                         # resolves to slide when the model
                                         # supports it (containers record the
                                         # RESOLVED mode)
+    slide_seg: int | None = None        # float slide scan-segment length
+                                        # (None = engine default, 0 = legacy
+                                        # single-scan graphs)
 
     def engine_kwargs(self) -> dict:
         """Keyword mapping for runtime.lm_api.lm_compress_bytes. ``window``
@@ -67,6 +70,7 @@ class LMCodingConfig:
             "w8": self.w8,
             "cache_grow": self.cache_grow,
             "window_mode": self.window_mode,
+            "slide_seg": self.slide_seg,
         }
 
 

@@ -167,6 +167,7 @@ def lm_compress_distributed(
     w8: bool = False,
     cache_grow: int | None = None,
     window_mode: str = "reprime",
+    slide_seg: int | None = None,
 ) -> bytes:
     """Multi-process LM compression (BASELINE configs #4/#5): every process
     codes its contiguous span of blocks with its local devices (optionally a
@@ -189,14 +190,15 @@ def lm_compress_distributed(
         cache_grow = GROW_BUCKET
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
-    from .lm_api import _resolve_window_mode
+    from .lm_api import _resolve_slide_seg, _resolve_window_mode
 
-    window_mode = _resolve_window_mode(window_mode, cfg)
+    window_mode = _resolve_window_mode(window_mode, cfg, block_tokens)
+    slide_seg = _resolve_slide_seg(slide_seg, window_mode, cfg, block_tokens)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
     params, place = _prepare_mesh(mesh, cfg, params, lanes)
-    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow, slide_seg)
     n = len(data)
     nblocks = max(1, -(-n // block_tokens))
     start, end = my_block_span(nblocks)
@@ -204,6 +206,7 @@ def lm_compress_distributed(
         lambda: encode_lm_span(
             cfg, params, place, data, start, end, block_tokens, lanes,
             prob_bits, overlap, cache_grow=cache_grow, window_mode=window_mode,
+            slide_seg=slide_seg,
         ),
         f"lm encode span [{start},{end})",
     )
@@ -234,6 +237,7 @@ def lm_compress_distributed(
             "w8": bool(cfg.w8),
             "cache_grow": int(cache_grow),
             "window_mode": window_mode,
+            "slide_seg": int(slide_seg),
         },
         original_len=n,
     )
@@ -265,7 +269,8 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
     if not c.get("det8"):
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
-    fp = lm_fingerprint(cfg, params, header.prob_bits, int(c.get("cache_grow", 0)))
+    fp = lm_fingerprint(cfg, params, header.prob_bits,
+                        int(c.get("cache_grow", 0)), int(c.get("slide_seg", 0)))
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "
@@ -279,6 +284,7 @@ def lm_decompress_distributed(container: bytes, model=None, mesh=None) -> bytes:
             c["lanes"], header.prob_bits, c["overlap"],
             cache_grow=int(c.get("cache_grow", 0)),
             window_mode=c.get("window_mode", "reprime"),
+            slide_seg=int(c.get("slide_seg", 0)),
         ),
         f"lm decode span [{start},{end})",
     )

@@ -38,8 +38,8 @@ from ..stream.container import (
     read_container,
     write_container,
 )
-from .lm_engine import (GROW_BUCKET, lm_decode_windowed, lm_encode_windowed,
-                        lm_fingerprint)
+from .lm_engine import (GROW_BUCKET, _SLIDE_SEG, lm_decode_windowed,
+                        lm_encode_windowed, lm_fingerprint)
 
 __all__ = [
     "lm_compress_bytes",
@@ -137,22 +137,29 @@ def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False,
     return cfg
 
 
-def _resolve_window_mode(window_mode: str, cfg) -> str:
+def _resolve_window_mode(window_mode: str, cfg, block_tokens: int = 0) -> str:
     """Resolve "auto" to the best supported mode for this model: slide
-    (measured better ratio AND wall at both flagship scales,
-    measurements/r3_slide.log) for rope models — including det8 — reprime
-    for learned-position models.
+    (measured better ratio AND wall at block 4096 on both flagship
+    checkpoints, measurements/r3_slide.log, and at block 16384 for the float
+    path, r3_slide_b16k.log) for rope models, reprime for learned-position
+    models.
 
     History: det8 resolved to reprime for part of round 3 because the det8
     serial decode as ONE long scan reproducibly crashed the TPU worker
     (measurements/r3_slide_det8*.log). The decode now runs in bounded-scan
     segments (lm_engine._decode_scan_slide_seg — bit-identical by det8's
-    shape invariance), which the bisect and the flagship-scale probe run
-    clean (r3_det8_bisect.log; r3_slide_det8_seg.log: 0.8758 bpb block 4096
-    lanes 64, exact). Containers record the RESOLVED mode, never "auto"."""
+    shape invariance), which the bisect and the block-4096 probe run clean
+    (r3_det8_bisect.log; r3_slide_det8_seg.log: 0.8758 bpb block 4096
+    lanes 64, exact). det8 at blocks past that proven scale routes to
+    reprime under auto until a clean block-16384 TPU run is on record
+    (ADVICE r3: the 16384 retry log is an incomplete snapshot) — explicit
+    window_mode="slide" still honors the caller. Containers record the
+    RESOLVED mode, never "auto"."""
     if window_mode != "auto":
         return window_mode
     if cfg.pos_embedding != "rope":
+        return "reprime"
+    if cfg.det8 and block_tokens > 4096:
         return "reprime"
     return "slide"
 
@@ -172,6 +179,7 @@ def lm_compress_bytes(
     w8: bool = False,
     cache_grow: int = GROW_BUCKET,
     window_mode: str = "reprime",
+    slide_seg: int | None = None,
 ) -> bytes:
     """model: optional pre-resolved (cfg, params) to skip re-resolution.
     mesh: optional jax.sharding.Mesh (axes ``data``, ``model``) — lanes
@@ -190,10 +198,16 @@ def lm_compress_bytes(
     rope-position models — det8 included — else reprime; the
     RESOLVED mode is what the container records). Only meaningful when
     block_tokens > the model context. Slide measured better on both axes
-    (ratio and wall) at both flagship scales: measurements/r3_slide.log."""
+    (ratio and wall) at both flagship scales: measurements/r3_slide.log.
+    slide_seg: float slide-mode scan-segment length (None = the default
+    _SLIDE_SEG for float slide, 0 = legacy single-scan graphs) — segmented
+    programs avoid the TPU worker crash at wide lanes x flagship block
+    (lm_engine._decode_scan_slide_seg docstring). Recorded in the container;
+    det8 ignores it (schedule-invariant bits)."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
-    window_mode = _resolve_window_mode(window_mode, cfg)
+    window_mode = _resolve_window_mode(window_mode, cfg, block_tokens)
+    slide_seg = _resolve_slide_seg(slide_seg, window_mode, cfg, block_tokens)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
     prob_bits = auto_prob_bits(cfg, prob_bits)
@@ -202,12 +216,13 @@ def lm_compress_bytes(
     nblocks = max(1, -(-n // block_tokens))
     # fingerprint computed with the coding placements so mesh-dependent
     # numerics are part of what it certifies
-    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow, slide_seg)
     blocks = [
         BlockEntry(*t)
         for t in encode_lm_span(
             cfg, params, place, data, 0, nblocks, block_tokens, lanes,
             prob_bits, overlap, cache_grow=cache_grow, window_mode=window_mode,
+            slide_seg=slide_seg,
         )
     ]
     header = ContainerHeader(
@@ -227,10 +242,24 @@ def lm_compress_bytes(
             "w8": bool(cfg.w8),
             "cache_grow": int(cache_grow),
             "window_mode": window_mode,
+            "slide_seg": int(slide_seg),
         },
         original_len=n,
     )
     return write_container(header, blocks)
+
+
+def _resolve_slide_seg(slide_seg: int | None, window_mode: str, cfg,
+                       block_tokens: int) -> int:
+    """Resolve the float slide segment length: the engine default when the
+    float slide path will actually run windowed (segmented graphs are the
+    crash-free wide-lane schedule), else 0. Explicit values pass through
+    (0 forces the legacy single-scan graphs)."""
+    if slide_seg is not None:
+        return int(slide_seg)
+    if window_mode == "slide" and not cfg.det8 and block_tokens > cfg.max_seq:
+        return _SLIDE_SEG
+    return 0
 
 
 def _lm_decode_setup(header, model, mesh):
@@ -250,7 +279,8 @@ def _lm_decode_setup(header, model, mesh):
         # float CDFs are mesh-dependent: decode must replay the encode mesh
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
-    fp = lm_fingerprint(cfg, params, header.prob_bits, int(c.get("cache_grow", 0)))
+    fp = lm_fingerprint(cfg, params, header.prob_bits,
+                        int(c.get("cache_grow", 0)), int(c.get("slide_seg", 0)))
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "
@@ -268,6 +298,7 @@ def lm_decompress_bytes(container: bytes, model=None, mesh=None) -> bytes:
         c["lanes"], header.prob_bits, c["overlap"],
         cache_grow=int(c.get("cache_grow", 0)),
         window_mode=c.get("window_mode", "reprime"),
+        slide_seg=int(c.get("slide_seg", 0)),
     )
     out = bytearray()
     for p in parts:
@@ -303,6 +334,7 @@ def lm_decompress_prefix(container: bytes, model=None, mesh=None):
             c["lanes"], header.prob_bits, c["overlap"],
             cache_grow=int(c.get("cache_grow", 0)),
             window_mode=c.get("window_mode", "reprime"),
+            slide_seg=int(c.get("slide_seg", 0)),
         )
         for p in parts:
             out += p
@@ -341,6 +373,7 @@ def lm_compress_tokens(
     w8: bool = False,
     cache_grow: int = GROW_BUCKET,
     window_mode: str = "reprime",
+    slide_seg: int | None = None,
 ) -> bytes:
     """Compress a 1-D sequence of model token ids (the reference's actual
     flagship interface — llama_compress.py codes the tokenizer's output
@@ -351,7 +384,8 @@ def lm_compress_tokens(
     ~ceil(log2(V)/8) bytes/token, never more."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
-    window_mode = _resolve_window_mode(window_mode, cfg)
+    window_mode = _resolve_window_mode(window_mode, cfg, block_tokens)
+    slide_seg = _resolve_slide_seg(slide_seg, window_mode, cfg, block_tokens)
     arr = np.ascontiguousarray(tokens, dtype=np.int32)
     if arr.ndim != 1:
         raise ValueError(f"tokens must be 1-D, got shape {arr.shape}")
@@ -364,12 +398,13 @@ def lm_compress_tokens(
     params, place = _prepare_mesh(mesh, cfg, params, lanes)
     n = arr.size
     nblocks = max(1, -(-n // block_tokens))
-    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow)
+    fingerprint = lm_fingerprint(cfg, params, prob_bits, cache_grow, slide_seg)
     blocks = [
         BlockEntry(*t)
         for t in encode_lm_span(
             cfg, params, place, arr, 0, nblocks, block_tokens, lanes,
             prob_bits, overlap, cache_grow=cache_grow, window_mode=window_mode,
+            slide_seg=slide_seg,
         )
     ]
     header = ContainerHeader(
@@ -391,6 +426,7 @@ def lm_compress_tokens(
             "vocab": cfg.vocab,
             "cache_grow": int(cache_grow),
             "window_mode": window_mode,
+            "slide_seg": int(slide_seg),
         },
         original_len=n,
     )
@@ -415,7 +451,8 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
     if not c.get("det8"):
         mesh = _reconstruct_mesh(c.get("mesh"), mesh)
     params, place = _prepare_mesh(mesh, cfg, params, c["lanes"])
-    fp = lm_fingerprint(cfg, params, header.prob_bits, int(c.get("cache_grow", 0)))
+    fp = lm_fingerprint(cfg, params, header.prob_bits,
+                        int(c.get("cache_grow", 0)), int(c.get("slide_seg", 0)))
     if fp != c["fingerprint"]:
         raise ValueError(
             "model fingerprint mismatch: decoder weights/stack differ from the "
@@ -427,6 +464,7 @@ def lm_decompress_tokens(container: bytes, model=None, mesh=None) -> np.ndarray:
         c["lanes"], header.prob_bits, c["overlap"], sym_dtype=rdt,
         cache_grow=int(c.get("cache_grow", 0)),
         window_mode=c.get("window_mode", "reprime"),
+        slide_seg=int(c.get("slide_seg", 0)),
     )
     out = np.concatenate(
         [np.frombuffer(p, dtype=rdt).astype(np.int32) for p in parts]
@@ -466,7 +504,8 @@ def auto_prob_bits(cfg, prob_bits: int) -> int:
 
 def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
                    block_tokens: int, lanes: int, prob_bits: int, overlap: int,
-                   cache_grow: int = 0, window_mode: str = "reprime"):
+                   cache_grow: int = 0, window_mode: str = "reprime",
+                   slide_seg: int = 0):
     """Encode blocks [start, end) of ``data`` in fixed-shape waves of
     ``lanes``; returns ``[(raw_len, token_count, payload)]`` triplets in
     block order (token_count 0 marks the raw fallback). One-wave pipeline:
@@ -516,7 +555,7 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
         with jax.profiler.TraceAnnotation("lm/encode_dispatch"):
             words_d, nwords_d = lm_encode_windowed(
                 cfg, params, tokens_d, lengths_d, prob_bits, overlap, cache_grow,
-                mode=window_mode,
+                mode=window_mode, slide_seg=slide_seg,
             )
         if pending is not None:
             finish(*pending)
@@ -529,7 +568,7 @@ def encode_lm_span(cfg, params, place, data: bytes, start: int, end: int,
 def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
                    block_tokens: int, lanes: int, prob_bits: int, overlap: int,
                    sym_dtype=np.uint8, cache_grow: int = 0,
-                   window_mode: str = "reprime"):
+                   window_mode: str = "reprime", slide_seg: int = 0):
     """Decode container blocks [start, end); returns their packed symbol
     payloads in block order (same wave pipeline as the encoder).
     ``sym_dtype``: how decoded symbols pack into the returned bytes — uint8
@@ -568,7 +607,7 @@ def decode_lm_span(cfg, params, place, blocks, start: int, end: int,
                 words_d, lengths_d = place(words, lengths)
                 syms_d = lm_decode_windowed(
                     cfg, params, words_d, lengths_d, prob_bits, block_tokens, overlap,
-                    cache_grow, mode=window_mode,
+                    cache_grow, mode=window_mode, slide_seg=slide_seg,
                 )
         if pending is not None:
             finish(*pending)

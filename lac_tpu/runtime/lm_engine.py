@@ -397,7 +397,7 @@ def _slide_cfg(cfg: LMConfig, t_len: int = 0) -> LMConfig:
 def lm_encode_windowed(
     cfg: LMConfig, params, tokens: np.ndarray, lengths: np.ndarray,
     prob_bits: int, overlap: int = 2, cache_grow: int = 0,
-    mode: str = "reprime",
+    mode: str = "reprime", slide_seg: int = 0,
 ):
     """Encode lanes of arbitrary length past the model context.
 
@@ -408,7 +408,13 @@ def lm_encode_windowed(
     docstring). The mode is part of the bitstream schedule: the container
     records it and the decoder must replay the same one. Slide ignores
     cache_grow (the ring is fixed-width; growth would only cover the first
-    window)."""
+    window).
+
+    ``slide_seg``: float slide-mode segment length — both sides run the
+    serial steps in ≤slide_seg-step scan programs instead of one t_len-long
+    scan (schedule = bitstream: the container records it; 0 = the legacy
+    single-scan graphs). det8 ignores it (its bits are schedule-invariant;
+    its decode is always segmented at _SLIDE_SEG)."""
     _check_grow(cache_grow)
     params = ensure_w8(cfg, params)
     tokens = jnp.asarray(tokens, dtype=jnp.int32)
@@ -429,6 +435,9 @@ def lm_encode_windowed(
             # decode (ring-age mask + ring-aligned chunks, transformer
             # _attention; same int32 reductions and softmax cap both sides)
             lo, f = _encode_intervals_det_slide(scfg, params, tokens, prob_bits)
+        elif slide_seg:
+            lo, f = _encode_intervals_slide_seg(scfg, params, tokens,
+                                                prob_bits, slide_seg)
         else:
             lo, f = _encode_intervals(scfg, params, tokens, lengths, prob_bits,
                                       window=cfg.max_seq)
@@ -469,16 +478,27 @@ def lm_encode_windowed(
     return _encode_rans(lo, f, lengths, prob_bits, t_len + 2)
 
 
-# det8+slide decode segment length: two shapes max per run (seg + tail).
+# Slide decode segment length: two shapes max per run (seg + tail).
 # 512 matches the segment scale the reprime det8 path runs without faulting.
 _SLIDE_SEG = 512
 
 
 def _decode_scan_slide_seg(scfg: LMConfig, params, words, lengths,
-                           prob_bits: int, t_len: int):
-    """Serial slide-mode decode in bounded-scan segments (det8 only: float
-    logits are only guaranteed reproducible within ONE compiled schedule, so
-    the float slide path keeps the single-scan graph)."""
+                           prob_bits: int, t_len: int, seg: int = _SLIDE_SEG):
+    """Serial slide-mode decode in bounded-scan segments.
+
+    Two users share this schedule:
+    - det8: bit-identical to one t_len-long scan by shape invariance; the
+      single long scan reproducibly crashed the TPU worker
+      (measurements/r3_slide_det8*.log), segments run clean.
+    - float with a container-recorded ``slide_seg``: float logits are only
+      guaranteed reproducible within ONE compiled schedule, so the encoder
+      runs the SAME ≤seg-step segment geometry (_encode_intervals_slide_seg)
+      — the same pairing the reprime mode already relies on (_seg_intervals /
+      _seg_decode segments on both sides). Bounded programs also avoid the
+      worker crash the single 16384-step scan hits at wide lanes
+      (r3_lm_corpus10_slide_b16k.log), unlocking lanes ≥128 at the flagship
+      block."""
     b = words.shape[0]
     cache = init_cache(scfg, b)  # width = max_seq: the ring
     prev = jnp.full((b,), scfg.bos_id, dtype=jnp.int32)
@@ -486,13 +506,34 @@ def _decode_scan_slide_seg(scfg: LMConfig, params, words, lengths,
     outs = []
     i = 0
     while i < t_len:
-        n = min(_SLIDE_SEG, t_len - i)
+        n = min(seg, t_len - i)
         cache, prev, rstate, syms = _seg_decode(
             scfg, params, cache, prev, rstate, prob_bits, n, jnp.int32(i),
             lengths)
         outs.append(syms)
         i += n
     return jnp.concatenate(outs, axis=1)
+
+
+def _encode_intervals_slide_seg(scfg: LMConfig, params, tokens, prob_bits: int,
+                                seg: int):
+    """Float slide-mode interval collection in bounded-scan segments: the
+    encode side of _decode_scan_slide_seg's schedule. Serial single-token
+    steps over the max_seq ring (the ring write wraps per step, so segment
+    boundaries need no ring alignment — unlike det8's multi-token chunks)."""
+    b, t_len = tokens.shape
+    cache = init_cache(scfg, b)  # width = max_seq: the ring
+    prev = jnp.full((b,), scfg.bos_id, dtype=jnp.int32)
+    los, fs = [], []
+    i = 0
+    while i < t_len:
+        n = min(seg, t_len - i)
+        cache, prev, lo, f = _seg_intervals(
+            scfg, params, cache, prev, tokens[:, i : i + n], prob_bits, n)
+        los.append(lo)
+        fs.append(f)
+        i += n
+    return jnp.concatenate(los, axis=1), jnp.concatenate(fs, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6))
@@ -516,7 +557,7 @@ def _seg_decode(cfg: LMConfig, params, cache, prev, rstate, prob_bits: int, step
 def lm_decode_windowed(
     cfg: LMConfig, params, words: np.ndarray, lengths: np.ndarray,
     prob_bits: int, t_len: int, overlap: int = 2, cache_grow: int = 0,
-    mode: str = "reprime",
+    mode: str = "reprime", slide_seg: int = 0,
 ):
     _check_grow(cache_grow)
     params = ensure_w8(cfg, params)
@@ -541,6 +582,11 @@ def lm_decode_windowed(
             # bitstream.
             return _decode_scan_slide_seg(scfg, params, words, lengths,
                                           prob_bits, t_len)
+        if slide_seg:
+            # float segmented schedule: replay the container's slide_seg
+            # geometry (the encode side ran _encode_intervals_slide_seg)
+            return _decode_scan_slide_seg(scfg, params, words, lengths,
+                                          prob_bits, t_len, slide_seg)
         return _decode_scan(scfg, params, words, lengths, prob_bits, t_len,
                             window=cfg.max_seq)
     if mode != "reprime":
@@ -581,7 +627,8 @@ _decode_step_jit = jax.jit(_decode_step, static_argnums=(2,))
 
 
 @x64
-def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0) -> int:
+def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0,
+                   slide_seg: int = 0) -> int:
     """Determinism fingerprint stored in the container: crc of the quantized
     CDF of a fixed probe (BOS-primed first step, batch 1). A decoder whose
     stack would produce different CDFs fails this check up front instead of
@@ -601,6 +648,12 @@ def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0) -
     crc = zlib.crc32(np.asarray(cdf).tobytes())
     if cache_grow:
         crc = zlib.crc32(f"cache_grow={cache_grow}".encode(), crc)
+    if slide_seg:
+        # the float slide segment geometry changes the compiled schedule and
+        # therefore the float bits; fold it so a decoder that predates the
+        # key fails loudly instead of mis-decoding (same rationale as
+        # cache_grow). 0 keeps every older container's value unchanged.
+        crc = zlib.crc32(f"slide_seg={slide_seg}".encode(), crc)
     if cfg.w8:
         # the probe CDF already reflects w8 projections; fold the mode tag
         # anyway so the failure message stays attributable (same as kv8)

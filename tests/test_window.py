@@ -193,11 +193,99 @@ def test_window_mode_auto_resolution():
     assert _resolve_window_mode("auto", cfg) == "slide"
     # det8+slide decodes in bounded-scan segments (the single long-scan
     # program crashed the TPU worker; lm_engine._decode_scan_slide_seg) —
-    # auto routes det8 to slide like the float rope path
-    assert _resolve_window_mode("auto", dataclasses.replace(cfg, det8=True)) == "slide"
+    # auto routes det8 to slide up to the TPU-proven block scale (4096;
+    # r3_slide_det8_seg.log) and falls back to reprime past it until a
+    # clean block-16384 run is recorded (ADVICE r3 medium)
+    det8 = dataclasses.replace(cfg, det8=True)
+    assert _resolve_window_mode("auto", det8, block_tokens=4096) == "slide"
+    assert _resolve_window_mode("auto", det8, block_tokens=16384) == "reprime"
     assert _resolve_window_mode(
         "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
     assert _resolve_window_mode("reprime", cfg) == "reprime"
+    # explicit mode always honors the caller, even past the auto gate
+    assert _resolve_window_mode("slide", det8, block_tokens=16384) == "slide"
+
+
+# --------------------------------------------------------------------------
+# Segmented float slide schedule (slide_seg): both sides run the serial
+# steps in bounded ≤seg-step scan programs — the crash-free wide-lane
+# schedule at the flagship block (VERDICT r3 item 3).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seg", [5, 16, 64])
+def test_slide_seg_roundtrip(seg):
+    cfg = tiny_config(vocab=41, max_seq=16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(seg)
+    b, pb, t_len = 3, 14, 50
+    lengths = np.array([t_len, t_len - 7, t_len], dtype=np.int32)
+    tokens = rng.integers(0, cfg.vocab, (b, t_len)).astype(np.int32)
+    for i, l in enumerate(lengths):
+        tokens[i, l:] = 0
+    words, _ = lm_encode_windowed(
+        cfg, params, tokens, lengths, pb, mode="slide", slide_seg=seg)
+    out = np.asarray(lm_decode_windowed(
+        cfg, params, np.asarray(words), lengths, pb, t_len, mode="slide",
+        slide_seg=seg))
+    for i in range(b):
+        assert (out[i, : lengths[i]] == tokens[i, : lengths[i]]).all(), f"lane {i}"
+
+
+def test_slide_seg_kv8_w8_roundtrip():
+    import dataclasses
+
+    base = tiny_config(vocab=41, max_seq=16)
+    rng = np.random.default_rng(9)
+    t_len, pb = 40, 14
+    tokens = rng.integers(0, base.vocab, (2, t_len)).astype(np.int32)
+    lengths = np.full(2, t_len, dtype=np.int32)
+    for mode_kw in ({"kv8": True}, {"w8": True}):
+        cfg = dataclasses.replace(base, **mode_kw)
+        params = init_params(base, jax.random.PRNGKey(2))
+        words, _ = lm_encode_windowed(
+            cfg, params, tokens, lengths, pb, mode="slide", slide_seg=16)
+        out = np.asarray(lm_decode_windowed(
+            cfg, params, np.asarray(words), lengths, pb, t_len, mode="slide",
+            slide_seg=16))
+        assert (out == tokens).all(), mode_kw
+
+
+def test_slide_seg_container_default_and_roundtrip():
+    """Float slide past the context resolves slide_seg to the engine default,
+    records it, and the decode replays it; forcing 0 keeps the legacy
+    single-scan container."""
+    from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
+    from lac_tpu.runtime.lm_engine import _SLIDE_SEG
+    from lac_tpu.stream.container import read_container
+
+    data = bytes(range(256)) * 5
+    c = lm_compress_bytes(
+        data, model_ref="prng:tiny:0", block_tokens=300, lanes=2,
+        window_mode="slide", cache_grow=0,
+    )
+    header, _ = read_container(c)
+    assert header.config["slide_seg"] == _SLIDE_SEG
+    assert lm_decompress_bytes(c) == data
+
+    c0 = lm_compress_bytes(
+        data, model_ref="prng:tiny:0", block_tokens=300, lanes=2,
+        window_mode="slide", cache_grow=0, slide_seg=0,
+    )
+    header0, _ = read_container(c0)
+    assert header0.config["slide_seg"] == 0
+    assert lm_decompress_bytes(c0) == data
+
+
+def test_slide_seg_fingerprint_gate():
+    """A decoder that ignores the recorded slide_seg must fail the
+    fingerprint gate loudly, not mis-decode (lm_fingerprint folds it)."""
+    from lac_tpu.models.lm_registry import resolve_lm
+    from lac_tpu.runtime.lm_engine import lm_fingerprint
+
+    cfg, params = resolve_lm("prng:tiny:0", None)
+    assert lm_fingerprint(cfg, params, 16, 0, 512) != lm_fingerprint(
+        cfg, params, 16, 0, 0)
 
 
 def test_auto_container_records_resolved_mode():

@@ -67,6 +67,13 @@ def run(cfg, params, tag):
     assert (np.asarray(d) == toks).all(), "round-trip mismatch"
     print(f"{tag} decode: {B*T/td:.1f} tok/s ({td:.1f}s); round-trip exact",
           flush=True)
+    # roofline math (VERDICT r3 item 5): per-step weight stream vs HBM BW
+    nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    for rtag, tput in (("encode", B * T / te), ("decode", B * T / td)):
+        frac = (tput / B) * nbytes / 819e9
+        print(f"{tag} roofline {rtag}: {tput:.0f} tok/s x {nbytes/1e9:.1f} "
+              f"GB/step / 819 GB/s = {100*frac:.0f}% of weight-stream bound",
+              flush=True)
 
 
 # w8: int8 weights (6.7 GB) + bf16 cache fits comfortably. Init and

@@ -71,9 +71,10 @@ def run(cfg, params, tag):
 
 wcfg = dataclasses.replace(cfg, w8=True)
 t0 = time.time()
-wparams = jax.block_until_ready(
-    jax.jit(lambda key: ensure_w8(wcfg, init_params(wcfg, key)))(
-        jax.random.PRNGKey(0))
-)
+wparams = jax.jit(lambda key: ensure_w8(wcfg, init_params(wcfg, key)))(
+    jax.random.PRNGKey(0))
+# block_until_ready does NOT wait through the axon tunnel (measured env
+# fact); sync with a scalar fetch on one leaf so the init timer is honest
+int(jnp.sum(jax.tree.leaves(wparams)[0][..., 0].astype(jnp.int32)))
 print(f"on-device init+w8-quantize {time.time()-t0:.0f}s", flush=True)
 run(wcfg, wparams, "w8")

@@ -31,8 +31,8 @@ data = bench.build_corpus(MB << 20)
 model = resolve_lm(f"file:{CKPT}", None)
 
 # warm the executables on a tiny slice so the timed run measures the
-# pipeline, not the one-time compile
-lm_compress_bytes(data[: BLOCK * 256], model_ref=f"file:{CKPT}",
+# pipeline, not the one-time compile — exactly ONE wave (BLOCK*LANES bytes)
+lm_compress_bytes(data[: BLOCK * LANES], model_ref=f"file:{CKPT}",
                   block_tokens=BLOCK, lanes=LANES, overlap=OVERLAP, model=model,
                   window_mode=WMODE, kv8=KV8)
 

@@ -1,19 +1,17 @@
-"""Promotion gate for the ctx2k checkpoint (round-3 honest re-run).
+"""Promotion gate for the ctx2k checkpoint (round-4 re-train; the round-3
+gate ran BEFORE slide mode existed — it tested w2048 under reprime at block
+4096, where re-prime cold-start punishes a wide window, and still nearly
+matched shipped: 0.8794 vs 0.8769, r3_ratio_probe_2k.log).
 
-Measures windowed-coding bpb of byte16l-2k-pysrc.npz on the EXACT bench.py
-flagship slice (bench.heldout_slice(); the slice construction and the
-shipped figure are imported from bench.py so this gate cannot silently
-drift from what the driver measures), with the bit-exact round-trip
-enforced. Promote iff bpb < bench.SHIPPED_FLAGSHIP_BPB.
+This gate measures what the checkpoint was actually trained for: SLIDE mode
+at the flagship block (bench.FLAGSHIP_BLOCK), window 2048 — ring cache +
+global RoPE give every token the full 2048-token context with zero re-prime
+work, and training at seq 2048 means no RoPE extrapolation (relative
+distances stay <= 2047). Bpb is measured on the EXACT bench.py flagship
+slice with the bit-exact round-trip enforced; an apples-to-apples w1024 run
+says whether the 2k continuation also helps at the shipped window.
 
-Round-2 postmortem: at the shipped wave width (lanes=64) the window-2048
-path OOMs the v5e (16-layer cache at width 2048 is ~4.3 GB and the re-prime
-prefill materializes [B,H,1792,W] scores), so this probe runs the 2k window
-at LANES_2K lanes — a config that actually fits; if promoted, bench.py must
-advertise that same config for this checkpoint (wave shape is part of the
-bitstream contract). Also probes the checkpoint at the shipped w1024
-config for an apples-to-apples "did the extra training help at the same
-window" read.
+Promote iff min(bpb) < bench.SHIPPED_FLAGSHIP_BPB.
 """
 import dataclasses
 import sys
@@ -26,34 +24,37 @@ from lac_tpu.models.lm_registry import resolve_lm
 from lac_tpu.runtime.lm_api import lm_compress_bytes, lm_decompress_bytes
 
 CKPT = "checkpoints/byte16l-2k-pysrc.npz"
-LANES_2K = 16
+LANES = 16  # 16 x 16384-token blocks tile the 256 KiB slice exactly
 
 hdata = bench.heldout_slice()
 
 
-def probe(model, lanes: int, label: str) -> float:
+def probe(model, label: str) -> float:
     t0 = time.time()
     hc = lm_compress_bytes(
         hdata, model_ref=f"file:{CKPT}", block_tokens=bench.FLAGSHIP_BLOCK,
-        lanes=lanes, overlap=bench.FLAGSHIP_OVERLAP, model=model,
+        lanes=LANES, overlap=bench.FLAGSHIP_OVERLAP, model=model,
+        window_mode="slide", cache_grow=0,
     )
     te = time.time() - t0
+    t0 = time.time()
     assert lm_decompress_bytes(hc, model=model) == hdata, "round-trip mismatch"
+    td = time.time() - t0
     bpb = 8 * len(hc) / len(hdata)
     print(f"{label}: bpb = {bpb:.4f}  (shipped = {bench.SHIPPED_FLAGSHIP_BPB})"
-          f"  enc {te:.0f}s", flush=True)
+          f"  enc {te:.0f}s dec {td:.0f}s", flush=True)
     return bpb
 
 
 model = resolve_lm(f"file:{CKPT}", None)
 print(f"ckpt max_seq = {model[0].max_seq}", flush=True)
 
-# same-window comparison first (cheap; shipped shapes)
-m1024 = (dataclasses.replace(model[0], max_seq=1024), model[1])
-b1024 = probe(m1024, bench.FLAGSHIP_LANES, "w1024 ov8 lanes64")
+# the 2k-window slide config this checkpoint was trained for
+b2048 = probe(model, f"w2048 slide b{bench.FLAGSHIP_BLOCK} lanes{LANES}")
 
-# the 2k-window config this checkpoint was trained for
-b2048 = probe(model, LANES_2K, f"w2048 ov8 lanes{LANES_2K}")
+# same-window comparison (did the extra training help at the shipped w1024?)
+m1024 = (dataclasses.replace(model[0], max_seq=1024), model[1])
+b1024 = probe(m1024, f"w1024 slide b{bench.FLAGSHIP_BLOCK} lanes{LANES}")
 
 best = min(b1024, b2048)
 print("PROMOTE" if best < bench.SHIPPED_FLAGSHIP_BPB else "KEEP-SHIPPED")

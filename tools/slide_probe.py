@@ -59,3 +59,22 @@ for name, ckpt, shipped in CASES:
         print(f"{tag}: {bpb:.4f} bpb (shipped reprime {shipped}), "
               f"enc {te:.0f}s dec {td:.0f}s, exact={ok}", flush=True)
         assert ok, f"{tag} round-trip mismatch"
+        if os.environ.get("LAC_SLIDE_WARM"):
+            # second rep on warm executables: separates compile from
+            # steady-state wall (VERDICT r3 weak-4: the byte-16l b16k run
+            # showed enc 221s vs dec 42s with compile and run conflated)
+            t0 = time.time()
+            c2 = lm_compress_bytes(
+                hdata, model_ref=f"file:{ckpt}", block_tokens=BLOCK,
+                lanes=LANES, overlap=bench.FLAGSHIP_OVERLAP,
+                model=model, window_mode=mode, kv8=kv8, det8=det8,
+                cache_grow=0 if mode == "slide" else 128,
+            )
+            te2 = time.time() - t0
+            t0 = time.time()
+            back2 = lm_decompress_bytes(c2, model=model)
+            td2 = time.time() - t0
+            assert back2 == hdata and c2 == c, f"{tag} warm rep mismatch"
+            print(f"{tag} WARM: enc {te2:.0f}s dec {td2:.0f}s "
+                  f"(compile share: enc {te - te2:.0f}s dec {td - td2:.0f}s)",
+                  flush=True)
