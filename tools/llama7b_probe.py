@@ -67,13 +67,21 @@ def run(cfg, params, tag):
     assert (np.asarray(d) == toks).all(), "round-trip mismatch"
     print(f"{tag} decode: {B*T/td:.1f} tok/s ({td:.1f}s); round-trip exact",
           flush=True)
-    # roofline math (VERDICT r3 item 5): per-step weight stream vs HBM BW
+    # roofline math (VERDICT r3 item 5): per-step HBM traffic vs BW. The
+    # serial-attention cache read is first-class here — 7B is MHA, so at
+    # B=32 the per-step K/V read (2 x L x B x W x d x dtype) rivals the
+    # weight stream; kv8 halves it and cfg.cache_grow shrinks W early.
     nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    kvb = 1 if cfg.kv8 else 2
+    cache_bytes = 2 * cfg.n_layers * B * T * cfg.n_kv_heads * (
+        cfg.d_model // cfg.n_heads) * kvb
     for rtag, tput in (("encode", B * T / te), ("decode", B * T / td)):
-        frac = (tput / B) * nbytes / 819e9
+        fw = (tput / B) * nbytes / 819e9
+        fwc = (tput / B) * (nbytes + cache_bytes) / 819e9
         print(f"{tag} roofline {rtag}: {tput:.0f} tok/s x {nbytes/1e9:.1f} "
-              f"GB/step / 819 GB/s = {100*frac:.0f}% of weight-stream bound",
-              flush=True)
+              f"GB weights (+{cache_bytes/1e9:.1f} GB full-width cache read) "
+              f"/step / 819 GB/s = {100*fw:.0f}% of weight-stream, "
+              f"{100*fwc:.0f}% of weights+cache bound", flush=True)
 
 
 # w8: int8 weights (6.7 GB) + bf16 cache fits comfortably. Init and
@@ -81,7 +89,8 @@ def run(cfg, params, tag):
 # as per-layer XLA intermediates (holding both full trees would OOM HBM).
 from lac_tpu.models.transformer import ensure_w8
 
-wcfg = dataclasses.replace(cfg, w8=True)
+wcfg = dataclasses.replace(cfg, w8=True,
+                           kv8=os.environ.get("LAC_7B_KV8", "0") == "1")
 t0 = time.time()
 wparams = jax.block_until_ready(
     jax.jit(lambda key: ensure_w8(wcfg, init_params(wcfg, key)))(

@@ -13,6 +13,9 @@ timeout 5400 python tools/llama8b_b32_bisect.py \
   > measurements/r4_llama8b_b32_bisect.log 2>&1; echo "rc=$?" >> measurements/r4_llama8b_b32_bisect.log
 LAC_7B_B=64 timeout 5400 python tools/llama7b_probe.py \
   > measurements/r4_llama7b_b64.log 2>&1; echo "rc=$?" >> measurements/r4_llama7b_b64.log
+# kv8 halves the MHA cache read — the roofline's "other half" at B>=32
+LAC_7B_B=64 LAC_7B_KV8=1 timeout 5400 python tools/llama7b_probe.py \
+  > measurements/r4_llama7b_b64_kv8.log 2>&1; echo "rc=$?" >> measurements/r4_llama7b_b64_kv8.log
 timeout 2400 python tools/bench_tinyllama_row.py \
   > measurements/r4_tinyllama_b128.log 2>&1; echo "rc=$?" >> measurements/r4_tinyllama_b128.log
 echo QUEUE2-DONE
