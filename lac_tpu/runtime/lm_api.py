@@ -148,18 +148,14 @@ def _resolve_window_mode(window_mode: str, cfg, block_tokens: int = 0) -> str:
     serial decode as ONE long scan reproducibly crashed the TPU worker
     (measurements/r3_slide_det8*.log). The decode now runs in bounded-scan
     segments (lm_engine._decode_scan_slide_seg — bit-identical by det8's
-    shape invariance), which the bisect and the block-4096 probe run clean
-    (r3_det8_bisect.log; r3_slide_det8_seg.log: 0.8758 bpb block 4096
-    lanes 64, exact). det8 at blocks past that proven scale routes to
-    reprime under auto until a clean block-16384 TPU run is on record
-    (ADVICE r3: the 16384 retry log is an incomplete snapshot) — explicit
-    window_mode="slide" still honors the caller. Containers record the
-    RESOLVED mode, never "auto"."""
+    shape invariance), proven clean on chip at block 4096
+    (r3_slide_det8_seg.log) AND at the flagship block 16384
+    (r4_slide_det8_b16k.log: byte-16l 0.8196 bpb lanes 16, bit-exact, no
+    fault) — the round-3 block-size gate on auto routing is closed.
+    Containers record the RESOLVED mode, never "auto"."""
     if window_mode != "auto":
         return window_mode
     if cfg.pos_embedding != "rope":
-        return "reprime"
-    if cfg.det8 and block_tokens > 4096:
         return "reprime"
     return "slide"
 

@@ -193,17 +193,15 @@ def test_window_mode_auto_resolution():
     assert _resolve_window_mode("auto", cfg) == "slide"
     # det8+slide decodes in bounded-scan segments (the single long-scan
     # program crashed the TPU worker; lm_engine._decode_scan_slide_seg) —
-    # auto routes det8 to slide up to the TPU-proven block scale (4096;
-    # r3_slide_det8_seg.log) and falls back to reprime past it until a
-    # clean block-16384 run is recorded (ADVICE r3 medium)
+    # proven clean on chip at block 4096 (r3_slide_det8_seg.log) and at the
+    # flagship block 16384 (r4_slide_det8_b16k.log), so auto routes det8 to
+    # slide at every block (the round-3 block gate is closed)
     det8 = dataclasses.replace(cfg, det8=True)
     assert _resolve_window_mode("auto", det8, block_tokens=4096) == "slide"
-    assert _resolve_window_mode("auto", det8, block_tokens=16384) == "reprime"
+    assert _resolve_window_mode("auto", det8, block_tokens=16384) == "slide"
     assert _resolve_window_mode(
         "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
     assert _resolve_window_mode("reprime", cfg) == "reprime"
-    # explicit mode always honors the caller, even past the auto gate
-    assert _resolve_window_mode("slide", det8, block_tokens=16384) == "slide"
 
 
 # --------------------------------------------------------------------------
