@@ -162,11 +162,41 @@ def quantize_logits(logits: jax.Array, prob_bits: int, det: bool = False) -> jax
     return freq
 
 
+_CDF_CHUNK = 4096
+
+
+def _cumsum_blocked(f: jax.Array, chunk: int = _CDF_CHUNK) -> jax.Array:
+    """Inclusive int32 cumsum along the last axis, blocked two-level:
+    within-chunk scans + a chunk-offset scan. Integer addition is
+    associative, so the values are bit-identical to the flat scan at every
+    blocking — this exists purely to bound COMPILE cost: one flat
+    associative_scan over a 128k-wide non-pow2 vocab (Llama-3's 128256 at
+    [32, V]) is a depth-17 slice/pad/add graph that wedges the remote
+    compiler for tens of minutes (measurements/r4_llama8b_b32_bisect.log,
+    the round-3 B=32 wedge r3_llama8b_b32.log), while the blocked form
+    compiles in seconds."""
+    v = f.shape[-1]
+    if v <= chunk:
+        return jax.lax.associative_scan(jnp.add, f, axis=-1)
+    pad = (-v) % chunk
+    if pad:
+        f = jnp.pad(f, [(0, 0)] * (f.ndim - 1) + [(0, pad)])
+    nc = f.shape[-1] // chunk
+    f = f.reshape(f.shape[:-1] + (nc, chunk))
+    within = jax.lax.associative_scan(jnp.add, f, axis=-1)
+    totals = within[..., -1]
+    offsets = jax.lax.associative_scan(jnp.add, totals, axis=-1) - totals
+    out = within + offsets[..., None]
+    return out.reshape(out.shape[:-2] + (nc * chunk,))[..., :v]
+
+
 def cdf_from_freq(freq: jax.Array) -> jax.Array:
     """jnp mirror of cdf_from_freq_np (int32 exclusive-prefix CDF).
     associative_scan instead of jnp.cumsum: XLA's reduce-window cumsum
-    allocates O(V) VMEM scratch that trips the 16MB scoped limit on TPU."""
-    c = jax.lax.associative_scan(jnp.add, freq.astype(jnp.int32), axis=-1)
+    allocates O(V) VMEM scratch that trips the 16MB scoped limit on TPU.
+    Wide vocabs run the blocked form (identical integers, bounded compile
+    cost — _cumsum_blocked)."""
+    c = _cumsum_blocked(freq.astype(jnp.int32))
     zero = jnp.zeros_like(c[..., :1])
     return jnp.concatenate([zero, c], axis=-1)
 
