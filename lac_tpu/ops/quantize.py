@@ -165,7 +165,13 @@ def quantize_logits(logits: jax.Array, prob_bits: int, det: bool = False) -> jax
 _CDF_CHUNK = 4096
 
 
-def _cumsum_blocked(f: jax.Array, chunk: int = _CDF_CHUNK) -> jax.Array:
+def _cdf_chunk() -> int:
+    import os
+
+    return int(os.environ.get("LAC_CDF_CHUNK", _CDF_CHUNK))
+
+
+def _cumsum_blocked(f: jax.Array, chunk: int | None = None) -> jax.Array:
     """Inclusive int32 cumsum along the last axis, blocked two-level:
     within-chunk scans + a chunk-offset scan. Integer addition is
     associative, so the values are bit-identical to the flat scan at every
@@ -175,6 +181,8 @@ def _cumsum_blocked(f: jax.Array, chunk: int = _CDF_CHUNK) -> jax.Array:
     compiler for tens of minutes (measurements/r4_llama8b_b32_bisect.log,
     the round-3 B=32 wedge r3_llama8b_b32.log), while the blocked form
     compiles in seconds."""
+    if chunk is None:
+        chunk = _cdf_chunk()
     v = f.shape[-1]
     if v <= chunk:
         return jax.lax.associative_scan(jnp.add, f, axis=-1)
