@@ -395,7 +395,10 @@ def _q8(x: jax.Array, axis) -> tuple[jax.Array, jax.Array]:
     """int8 quantization of f32 ``x`` with one scale-free max per slice
     along ``axis`` (the contraction axis): x ~= q * s / 127, |q| <= 127."""
     s = jnp.maximum(jnp.max(jnp.abs(x), axis=axis, keepdims=True), f32(1e-30))
-    q = jnp.round((x / s) * f32(127.0)).astype(jnp.int8)
+    # pin the divide-then-scale grouping (the simplifier may otherwise fold
+    # it to x * (127/s) with different rounding in different programs — the
+    # same cross-program hazard _w8_dot documents)
+    q = jnp.round(jax.lax.optimization_barrier(x / s) * f32(127.0)).astype(jnp.int8)
     return q, s
 
 
@@ -431,10 +434,22 @@ def _w8_dot(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
     Activations quantize per row on the fly; int8 x int8 accumulates in
     int32 on the MXU (exact for K < 2^31/127^2 ~ 133k, every preset). The
     int8 weight array is what the step reads from HBM — half the bf16
-    bytes, which is the measured per-step bound at 1B+ scale."""
+    bytes, which is the measured per-step bound at 1B+ scale.
+
+    The dequant scale chain is grouping-PINNED with optimization_barrier:
+    encoder and decoder embed this dot in different programs (gather vs
+    cdf-search consumers), and XLA's simplifier regrouped the
+    ``acc * sx * (ws * c)`` multiply chain differently between the two at
+    some graph shapes — measured: TinyLlama w8 + cache_grow at B=128
+    decoded garbage from position 0 while GPT-2/7B/8B shapes agreed
+    (measurements/r4_tinyllama_mismatch.log; the same hazard class det8
+    documents in DESIGN.md §6). With the barriers, every float op here is
+    elementwise with a fixed grouping, so identical inputs give identical
+    bits in ANY program."""
     xq, sx = _q8(x.astype(f32), -1)
     acc = jnp.einsum("...k,kn->...n", xq, wq, preferred_element_type=jnp.int32)
-    return acc.astype(f32) * sx * (ws * f32(1.0 / (127.0 * 127.0)))
+    wsc = ws * f32(1.0 / (127.0 * 127.0))
+    return jax.lax.optimization_barrier(acc.astype(f32) * sx) * wsc
 
 
 def _dual16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
