@@ -418,14 +418,22 @@ def ensure_w8(cfg: LMConfig, params: dict) -> dict:
 
 @functools.partial(jax.jit, static_argnums=0)
 def _quantize_w8(cfg: LMConfig, params: dict) -> dict:
+    def qw(w, axis):
+        # fold the 1/127^2 dequant constant into the stored per-column
+        # scale so _w8_dot's tail is ONE multiply — with the barrier that
+        # pins the chain structurally, not just at tested shapes (the
+        # hazard-#5 fix's review follow-up)
+        q, s = _q8(w.astype(f32), axis=axis)
+        return q, s * f32(1.0 / (127.0 * 127.0))
+
     p = dict(params)
     layers = dict(p["layers"])
     for k in W8_KEYS:
         if k in layers:
-            layers[k] = _q8(layers[k].astype(f32), axis=1)  # [L, K, N]: over K
+            layers[k] = qw(layers[k], axis=1)  # [L, K, N]: over K
     p["layers"] = layers
     wh = p["embed"][: cfg.vocab].T if cfg.tie_embeddings else p["head"]
-    p["head"] = _q8(wh.astype(f32), axis=0)
+    p["head"] = qw(wh, axis=0)
     return p
 
 
@@ -436,20 +444,20 @@ def _w8_dot(x: jax.Array, wq: jax.Array, ws: jax.Array) -> jax.Array:
     int8 weight array is what the step reads from HBM — half the bf16
     bytes, which is the measured per-step bound at 1B+ scale.
 
-    The dequant scale chain is grouping-PINNED with optimization_barrier:
-    encoder and decoder embed this dot in different programs (gather vs
-    cdf-search consumers), and XLA's simplifier regrouped the
-    ``acc * sx * (ws * c)`` multiply chain differently between the two at
-    some graph shapes — measured: TinyLlama w8 + cache_grow at B=128
-    decoded garbage from position 0 while GPT-2/7B/8B shapes agreed
-    (measurements/r4_tinyllama_mismatch.log; the same hazard class det8
-    documents in DESIGN.md §6). With the barriers, every float op here is
-    elementwise with a fixed grouping, so identical inputs give identical
-    bits in ANY program."""
+    The dequant scale chain is grouping-PINNED: encoder and decoder embed
+    this dot in different programs (gather vs cdf-search consumers), and
+    XLA's simplifier regrouped the ``acc * sx * (ws * c)`` multiply chain
+    differently between the two at some graph shapes — measured: TinyLlama
+    w8 + cache_grow at B=128 decoded garbage from position 0 while
+    GPT-2/7B/8B shapes agreed (measurements/r4_tinyllama_mismatch.log; the
+    same hazard class det8 documents in DESIGN.md §6). The 1/127^2 dequant
+    constant is folded into ``ws`` at quantize time (_quantize_w8), so the
+    expression here is barrier(acc*sx) * ws — a single multiply each side
+    of the barrier with nothing left to regroup; identical inputs give
+    identical bits in ANY program."""
     xq, sx = _q8(x.astype(f32), -1)
     acc = jnp.einsum("...k,kn->...n", xq, wq, preferred_element_type=jnp.int32)
-    wsc = ws * f32(1.0 / (127.0 * 127.0))
-    return jax.lax.optimization_barrier(acc.astype(f32) * sx) * wsc
+    return jax.lax.optimization_barrier(acc.astype(f32) * sx) * ws
 
 
 def _dual16(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:

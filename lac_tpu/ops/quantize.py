@@ -184,7 +184,7 @@ def _cumsum_blocked(f: jax.Array, chunk: int | None = None) -> jax.Array:
     if chunk is None:
         chunk = _cdf_chunk()
     v = f.shape[-1]
-    if v <= chunk:
+    if chunk <= 0 or v <= chunk:  # chunk<=0 = flat scan (the A/B debug knob)
         return jax.lax.associative_scan(jnp.add, f, axis=-1)
     pad = (-v) % chunk
     if pad:

@@ -192,7 +192,7 @@ def lm_compress_distributed(
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
     from .lm_api import _resolve_slide_seg, _resolve_window_mode
 
-    window_mode = _resolve_window_mode(window_mode, cfg, block_tokens)
+    window_mode = _resolve_window_mode(window_mode, cfg)
     slide_seg = _resolve_slide_seg(slide_seg, window_mode, cfg, block_tokens)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")

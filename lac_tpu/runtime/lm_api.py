@@ -137,7 +137,7 @@ def _cfg_for_det8(cfg, det8: bool, decoding: bool = False, kv8: bool = False,
     return cfg
 
 
-def _resolve_window_mode(window_mode: str, cfg, block_tokens: int = 0) -> str:
+def _resolve_window_mode(window_mode: str, cfg) -> str:
     """Resolve "auto" to the best supported mode for this model: slide
     (measured better ratio AND wall at block 4096 on both flagship
     checkpoints, measurements/r3_slide.log, and at block 16384 for the float
@@ -202,7 +202,7 @@ def lm_compress_bytes(
     det8 ignores it (schedule-invariant bits)."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
-    window_mode = _resolve_window_mode(window_mode, cfg, block_tokens)
+    window_mode = _resolve_window_mode(window_mode, cfg)
     slide_seg = _resolve_slide_seg(slide_seg, window_mode, cfg, block_tokens)
     if cfg.vocab < 256:
         raise ValueError("byte-level coding needs vocab >= 256")
@@ -380,7 +380,7 @@ def lm_compress_tokens(
     ~ceil(log2(V)/8) bytes/token, never more."""
     cfg, params = model if model is not None else resolve_lm(model_ref, max_seq)
     cfg = _cfg_for_det8(cfg, det8, kv8=kv8, w8=w8)
-    window_mode = _resolve_window_mode(window_mode, cfg, block_tokens)
+    window_mode = _resolve_window_mode(window_mode, cfg)
     slide_seg = _resolve_slide_seg(slide_seg, window_mode, cfg, block_tokens)
     arr = np.ascontiguousarray(tokens, dtype=np.int32)
     if arr.ndim != 1:

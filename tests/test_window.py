@@ -197,11 +197,14 @@ def test_window_mode_auto_resolution():
     # flagship block 16384 (r4_slide_det8_b16k.log), so auto routes det8 to
     # slide at every block (the round-3 block gate is closed)
     det8 = dataclasses.replace(cfg, det8=True)
-    assert _resolve_window_mode("auto", det8, block_tokens=4096) == "slide"
-    assert _resolve_window_mode("auto", det8, block_tokens=16384) == "slide"
+    assert _resolve_window_mode("auto", det8) == "slide"
+    assert _resolve_window_mode("auto", det8) == "slide"
     assert _resolve_window_mode(
         "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
     assert _resolve_window_mode("reprime", cfg) == "reprime"
+    # explicit mode always honors the caller (the container records the
+    # RESOLVED mode; only "auto" may be rewritten)
+    assert _resolve_window_mode("slide", det8) == "slide"
 
 
 # --------------------------------------------------------------------------

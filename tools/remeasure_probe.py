@@ -97,12 +97,15 @@ from lac_tpu.train import train_byte_lm
 
 tcfg = dataclasses.replace(PRESETS["byte-16l"](), max_seq=2049)
 corpus = bench.build_corpus(64 << 20)
-# two calls: (trace + compile-cache hit + N steps); subtracting cancels the
-# per-call fixed cost so the quotient is steady-state steps
+# warmup call first: it pays the one-time compile (cache MISS) so the two
+# timed calls below both trace + cache-HIT — only then does subtracting
+# cancel the per-call fixed cost (the first version skipped this and
+# measured a negative s/step: r4_remeasure.log)
+train_byte_lm(tcfg, corpus, steps=1, batch=32, seq=2048, log_every=0)
 t0 = time.perf_counter()
 train_byte_lm(tcfg, corpus, steps=5, batch=32, seq=2048, log_every=0)
 t5 = time.perf_counter() - t0
-print(f"  compile+5 steps: {t5:.0f}s", flush=True)
+print(f"  5 steps (warm): {t5:.0f}s", flush=True)
 t0 = time.perf_counter()
 train_byte_lm(tcfg, corpus, steps=50, batch=32, seq=2048, log_every=0)
 t50 = time.perf_counter() - t0

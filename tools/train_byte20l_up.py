@@ -9,9 +9,10 @@ finetune damaged in-distribution quality (byte-16l at the same w1024 config
 codes 0.8188). The remaining ratio lever is model CAPACITY at seq 1024.
 
 This run warm-starts a 20-layer model from the shipped byte-16l by
-duplicating every 4th layer in place (SOLAR-style depth up-scaling: the
-stacked [L, ...] param layout makes it one np.take along axis 0) and
-continues training at the byte-16l recipe shapes. Deadline-sized steps,
+APPENDING a copy of the last four layers (tail-repeat [0..15, 12..15] —
+the measured-best of three duplication layouts; the stacked [L, ...] param
+layout makes the upcycle one np.take along axis 0) and continues training
+at the byte-16l recipe shapes. Deadline-sized steps,
 best-eval checkpointing; promotion stays gated on the exact bench slice vs
 bench.SHIPPED_FLAGSHIP_BPB (tools/ratio_probe_20l.py).
 """
