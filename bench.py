@@ -33,19 +33,21 @@ FLAGSHIP_CKPTS = (
     "/root/repo/checkpoints/byte16l-pysrc.npz",
     "/root/repo/checkpoints/byte12l-pysrc.npz",
 )
-# Shipped flagship figure (BASELINE.md: byte-16l, block 16384, window 1024,
-# slide mode on heldout_slice() — measurements/r4_slide_b16k_warm.log). The
+# Shipped flagship figure (BASELINE.md: byte-16l, block 65536, window 1024,
+# slide mode on heldout_slice() — measurements/r4_slide_b64k_seg.log). The
 # gate history: slide beat reprime at block 4096 (0.8758 vs 0.8769/0.8776,
-# r3_slide.log), then block 16384 cut the per-block cold-start fraction
-# 25%->6% for 0.8188 single-scan (r3_slide_b16k.log); the shipped default
-# is the slide_seg=512 segmented schedule (crash-free at wide lanes), whose
-# float bits land +0.0005 from the single-scan graph: 0.8193.
-# Promotion gates compare against this.
-SHIPPED_FLAGSHIP_BPB = 0.8193
+# r3_slide.log); block 16384 cut the per-block cold-start fraction 25%->6%
+# for 0.8188 single-scan (r3_slide_b16k.log) / 0.8193 on the segmented
+# slide_seg=512 default (r4_slide_b16k_warm.log); and the segmented
+# schedule then collapsed the block-65536 wall from 516 s (r3 single-scan,
+# driver-budget-hostile) to 71 s, making the max-ratio block the bench
+# config: cold start 1.5% of tokens, 0.8032 bpb at lanes 4 (the 256 KiB
+# slice = exactly 4 blocks). Promotion gates compare against this.
+SHIPPED_FLAGSHIP_BPB = 0.8032
 
 # Shipped flagship coding config (must match the BASELINE.md row).
-FLAGSHIP_BLOCK = 16384
-FLAGSHIP_LANES = 16
+FLAGSHIP_BLOCK = 65536
+FLAGSHIP_LANES = 4
 FLAGSHIP_OVERLAP = 8          # used by the reprime fallback only
 FLAGSHIP_WINDOW_MODE = "slide"
 
