@@ -604,7 +604,81 @@ def _det_attn_out_cached(probs: jax.Array, cv: jax.Array, v: jax.Array) -> jax.A
     return out * (jnp.transpose(sp, (0, 3, 1, 2, 4)) * f32(_DUAL_K))
 
 
-def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool):
+# Training-only fused-attention implementation selector (probed on-chip in
+# measurements/r5_train_profile*.log; training scripts may override).
+#   impl: "flash" (pallas flash kernel) | "splash" | "bf16s" (exact
+#         structure, bf16 score/prob materialization + post-PV normalize)
+#   flash_bs / splash_bs: optional kernel BlockSizes overrides
+_FUSED = {"impl": "flash", "flash_bs": None, "splash_bs": None}
+
+
+def _splash_prefill(cfg: LMConfig, qg, k, v):
+    """Causal prefill via the splash-attention kernel (training-only)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as _sk,
+        splash_attention_mask as _sm,
+    )
+
+    b, s, kvh, rep, hd = qg.shape
+    h = kvh * rep
+    qf = qg.reshape(b, s, h, hd).transpose(0, 2, 1, 3) * (1.0 / float(hd) ** 0.5)
+    kf = k.transpose(0, 2, 1, 3)
+    vf = v.transpose(0, 2, 1, 3)
+    mask = _sm.MultiHeadMask([_sm.CausalMask((s, s)) for _ in range(h)])
+    kernel = _sk.make_splash_mha_single_device(
+        mask=mask, block_sizes=_FUSED["splash_bs"])
+    out = jax.vmap(kernel)(qf, kf, vf)
+    return out.transpose(0, 2, 1, 3).astype(cfg.dtype).reshape(b, s, kvh, rep, hd)
+
+
+def _bf16s_prefill(cfg: LMConfig, qg, k, v, scale):
+    """Exact-structure causal prefill with model-dtype score materialization
+    (training-only). Two levers vs the exact branch: (1) scores and the
+    exp() tensor are stored in cfg.dtype, halving the dominant [B,H,S,S]
+    HBM traffic; (2) the softmax normalization divides AFTER the PV
+    contraction (per-row scalar), so no normalized-probability tensor is
+    ever written."""
+    b, s, kvh, rep, hd = qg.shape
+    sf = jnp.einsum("bskrd,bjkd->bkrsj", qg, k,
+                    preferred_element_type=f32).astype(cfg.dtype)
+    sf = sf * scale.astype(cfg.dtype)
+    i_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, :, None]
+    j_ids = jnp.arange(s, dtype=jnp.int32)[None, None, None, None, :]
+    sf = jnp.where(j_ids <= i_ids, sf, jnp.asarray(-jnp.inf, cfg.dtype))
+    m = jnp.max(sf, axis=-1, keepdims=True)
+    e = jnp.exp((sf - m).astype(f32)).astype(cfg.dtype)
+    ssum = jnp.sum(e.astype(f32), axis=-1, keepdims=True)  # [b,k,r,s,1]
+    out = jnp.einsum("bkrsj,bjkd->bskrd", e, v, preferred_element_type=f32)
+    return (out / jnp.transpose(ssum, (0, 3, 1, 2, 4))).astype(cfg.dtype)
+
+
+def _flash_prefill(cfg: LMConfig, qg, k, v):
+    """Fused causal attention for the TRAINING prefill (float path only).
+
+    The exact prefill branch materializes the [B, H, S, S] f32 score tensor
+    per layer (plus its softmax) — at B=64, S=1024 that is ~2.1 GB of HBM
+    write+read per layer per pass, and the round-4 training profile showed
+    it dominating the step. The Pallas flash kernel streams K/V blocks
+    through VMEM with an online softmax, so scores never touch HBM.
+
+    Numerics differ from the exact branch only in float summation order, so
+    this path is TRAINING-ONLY (``forward(..., fused=True)``): the coding
+    paths keep the exact branch and their bitstreams are unchanged.
+    MHA only (rep folded == 1); callers guard."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    b, s, kvh, rep, hd = qg.shape
+    qf = qg.reshape(b, s, kvh * rep, hd).transpose(0, 2, 1, 3)
+    kf = k.transpose(0, 2, 1, 3)
+    vf = v.transpose(0, 2, 1, 3)
+    out = flash_attention(qf, kf, vf, causal=True,
+                          sm_scale=1.0 / float(hd) ** 0.5,
+                          block_sizes=_FUSED["flash_bs"])
+    return out.transpose(0, 2, 1, 3).astype(cfg.dtype).reshape(b, s, kvh, rep, hd)
+
+
+def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool,
+               fused: bool = False):
     """One layer's attention against (read-only cache slice, fresh K/V).
 
     The cache is never written here: queries attend to the old cache
@@ -655,6 +729,29 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
     rep = h // kvh
     qg = q.reshape(b, s, kvh, rep, hd)
     scale = f32(1.0) / jnp.sqrt(f32(hd))
+    def oproj(out):
+        out = out.reshape(b, s, h * hd)
+        if cfg.det8:
+            y = _det_dot8(out, p["wo"])
+            if cfg.use_bias:
+                y = y + p["bo"].astype(f32)
+            return _act(cfg, y)
+        elif cfg.w8:
+            y = _w8_dot(out, *p["wo"])
+            if cfg.use_bias:
+                y = y + p["bo"].astype(f32)
+            return y.astype(cfg.dtype)
+        y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
+        if cfg.use_bias:
+            y = y + p["bo"]
+        return y
+
+    if prefill and fused and not cfg.det8 and h == kvh:
+        if _FUSED["impl"] == "splash":
+            return oproj(_splash_prefill(cfg, qg, k, v)), k, v
+        if _FUSED["impl"] == "bf16s":
+            return oproj(_bf16s_prefill(cfg, qg, k, v, scale)), k, v
+        return oproj(_flash_prefill(cfg, qg, k, v)), k, v
     # fresh-block scores: causal within the block (exact -inf masking so
     # masked positions contribute exactly zero after softmax)
     if cfg.det8:
@@ -696,7 +793,16 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
                              preferred_element_type=jnp.int32)
             sq_t = jnp.transpose(sq, (0, 2, 3, 1, 4))                        # [b,k,r,s,1]
             sk_t = jnp.transpose(cks[..., 0], (0, 2, 1))[:, :, None, None, :]  # [b,k,1,1,w]
-            sc = sci.astype(f32) * sq_t * sk_t * (scale / f32(127.0 * 127.0))
+            # grouping-PINNED dequant (the hazard-#5 class, same treatment
+            # as _w8_dot): encoder and decoder embed this chain in different
+            # programs, and a free `acc * sq * sk * c` multiply chain is
+            # exactly what the simplifier regrouped differently per program
+            # at the TinyLlama w8 shapes. Fold the constant into the K-side
+            # scale under one barrier, pin the acc*sq product under another
+            # — what remains is a single multiply of two barrier outputs.
+            skc = jax.lax.optimization_barrier(
+                sk_t * (scale / f32(127.0 * 127.0)))
+            sc = jax.lax.optimization_barrier(sci.astype(f32) * sq_t) * skc
         else:
             sc = jnp.einsum("bskrd,bwkd->bkrsw", qg, ck, preferred_element_type=f32)
             sc = sc * scale
@@ -733,9 +839,11 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
             p8, sp = _q8(probs[..., :w_len] * sv_t, -1)
             oci = jnp.einsum("bkrsw,bwkd->bskrd", p8, cv8,
                              preferred_element_type=jnp.int32)
-            outc = oci.astype(f32) * (
-                jnp.transpose(sp, (0, 3, 1, 2, 4)) * f32(1.0 / (127.0 * 127.0))
-            )
+            # same pinning as the score dequant above: constant folded into
+            # the row scale under a barrier, one terminal multiply left
+            spc = jax.lax.optimization_barrier(
+                jnp.transpose(sp, (0, 3, 1, 2, 4)) * f32(1.0 / (127.0 * 127.0)))
+            outc = oci.astype(f32) * spc
             pf = probs[..., w_len:].astype(cfg.dtype)
             outf = jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
             out = (outc + outf).astype(cfg.dtype)
@@ -747,22 +855,7 @@ def _attention(cfg: LMConfig, p: dict, x: jax.Array, ck, cv, pos, prefill: bool)
                 jnp.einsum("bkrsw,bwkd->bskrd", pc, cv, preferred_element_type=f32)
                 + jnp.einsum("bkrsj,bjkd->bskrd", pf, v, preferred_element_type=f32)
             ).astype(cfg.dtype)
-    out = out.reshape(b, s, h * hd)
-    if cfg.det8:
-        y = _det_dot8(out, p["wo"])
-        if cfg.use_bias:
-            y = y + p["bo"].astype(f32)
-        y = _act(cfg, y)
-    elif cfg.w8:
-        y = _w8_dot(out, *p["wo"])
-        if cfg.use_bias:
-            y = y + p["bo"].astype(f32)
-        y = y.astype(cfg.dtype)
-    else:
-        y = jnp.dot(out, p["wo"], preferred_element_type=f32).astype(cfg.dtype)
-        if cfg.use_bias:
-            y = y + p["bo"]
-    return y, k, v
+    return oproj(out), k, v
 
 
 def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
@@ -808,7 +901,8 @@ def _mlp(cfg: LMConfig, p: dict, x: jax.Array) -> jax.Array:
 
 
 def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
-            prefill: bool = False, remat: bool = False, unroll: bool = True):
+            prefill: bool = False, remat: bool = False, unroll: bool = True,
+            fused: bool = False):
     """Run S tokens through the model starting at cache position ``pos``.
 
     tokens: [B, S] int32 (values in [0, vocab]; ``vocab`` = BOS row).
@@ -830,6 +924,11 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
     training shapes (measured 23GB at L=12, B=64, S=512); with remat only
     the inter-layer activations are saved and attention recomputes in the
     backward. Inference paths (no grads) leave it off.
+
+    ``fused=True``: TRAINING-ONLY — route the float prefill attention
+    through the Pallas flash kernel (``_flash_prefill``). Same math,
+    different float summation order, so coding paths must not set it (the
+    bitstream contract requires the exact branch on both sides).
 
     ``unroll=True`` (default): unroll the layer scan. The rolled loop
     defeats XLA's in-place aliasing/fusion across layers and measured
@@ -858,7 +957,8 @@ def forward(cfg: LMConfig, params: dict, tokens: jax.Array, cache: dict,
             ck, cv = (ck8, cks), (cv8, cvs)
         else:
             lp, ck, cv = xs
-        h, fk, fv = _attention(cfg, lp, _norm(cfg, lp["ln1"], x), ck, cv, pos, prefill)
+        h, fk, fv = _attention(cfg, lp, _norm(cfg, lp["ln1"], x), ck, cv, pos,
+                               prefill, fused=fused)
         # residual adds round explicitly under det8 (hazard #4, see _act);
         # the float path's bf16+bf16 add already rounds, cast is a no-op
         x = _act(cfg, x + h)

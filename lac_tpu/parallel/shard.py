@@ -28,13 +28,22 @@ def param_pspecs(params: dict) -> dict:
     ``layers`` leaves are stacked ``[n_layers, ...]`` (scan-over-layers
     layout), so every layer spec carries a leading replicated axis."""
 
+    def with_w8_scale(v, sp: P):
+        """w8 leaves are ``(int8 q, f32 scale)`` tuples (ensure_w8); the
+        scale keeps a size-1 dim over the contraction axis, which cannot
+        shard — give it the same spec with size-1 axes replicated."""
+        if not isinstance(v, tuple):
+            return sp
+        ss = P(*[a if v[1].shape[i] > 1 else None for i, a in enumerate(sp)])
+        return (sp, ss)
+
     def layer_spec(layers: dict) -> dict:
         spec = {}
-        for k in layers:
+        for k, v in layers.items():
             if k in ("wq", "wk", "wv", "w_up", "w_gate"):
-                spec[k] = P(None, None, "model")
+                spec[k] = with_w8_scale(v, P(None, None, "model"))
             elif k in ("wo", "w_down"):
-                spec[k] = P(None, "model", None)
+                spec[k] = with_w8_scale(v, P(None, "model", None))
             elif k in ("bq", "bk", "bv", "b_up"):
                 spec[k] = P(None, "model")
             else:  # norms, bo, b_down: replicated

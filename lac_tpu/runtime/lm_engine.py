@@ -656,11 +656,18 @@ def lm_fingerprint(cfg: LMConfig, params, prob_bits: int, cache_grow: int = 0,
         crc = zlib.crc32(f"slide_seg={slide_seg}".encode(), crc)
     if cfg.w8:
         # the probe CDF already reflects w8 projections; fold the mode tag
-        # anyway so the failure message stays attributable (same as kv8)
-        crc = zlib.crc32(b"w8", crc)
+        # anyway so the failure message stays attributable (same as kv8).
+        # "v2" = the hazard-#5 barrier-pinned dequant chain (round 4): the
+        # probe is one batch-1 step and only PROBABILISTICALLY separates the
+        # old and new dequant groupings — the explicit version tag makes
+        # pre-change w8 containers fail the gate deterministically.
+        crc = zlib.crc32(b"w8v2", crc)
     if cfg.kv8:
         # kv8 only alters the CACHE route, which the one-step empty-cache
         # probe never exercises — fold the mode in explicitly so a float
-        # decoder fails loudly on a kv8 container (and vice versa)
-        crc = zlib.crc32(b"kv8", crc)
+        # decoder fails loudly on a kv8 container (and vice versa).
+        # "v2" = the round-5 barrier-pinned cache-dequant chains (the
+        # hazard-#5 treatment applied to kv8): the probe cannot see cache-
+        # route bit changes, so the version tag must carry them.
+        crc = zlib.crc32(b"kv8v2", crc)
     return crc

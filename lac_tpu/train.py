@@ -30,17 +30,21 @@ __all__ = ["train_byte_lm", "save_checkpoint", "load_checkpoint", "lm_loss"]
 f32 = jnp.float32
 
 
-def lm_loss(cfg: LMConfig, params, tokens):
+def lm_loss(cfg: LMConfig, params, tokens, fused: bool = False,
+            remat: bool = True, unroll: bool = False):
     """Mean causal cross-entropy (nats->bits handled by caller). tokens
     [B, S+1]: positions 0..S-1 predict 1..S. BOS handling matches the coding
-    path: the model is primed with cfg.bos_id."""
+    path: the model is primed with cfg.bos_id.
+
+    ``fused=True`` routes the prefill attention through the flash kernel
+    (training-only numerics; see ``transformer.forward``)."""
     inp, tgt = tokens[:, :-1], tokens[:, 1:]
     # size the cache to the training sequence, not cfg.max_seq: every score
     # row spans the cache width, so an oversized cache multiplies attention
     # HBM traffic (and at B>=128 wedges the remote compile)
     cache = init_cache(cfg, tokens.shape[0], window=inp.shape[1])
-    logits, _ = forward(cfg, params, inp, cache, prefill=True, remat=True,
-                        unroll=False)
+    logits, _ = forward(cfg, params, inp, cache, prefill=True, remat=remat,
+                        unroll=unroll, fused=fused)
     logp = jax.nn.log_softmax(logits.astype(f32), axis=-1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
@@ -63,6 +67,7 @@ def train_byte_lm(
     save_best_path: str | None = None,
     save_max_seq: int | None = None,
     init: dict | None = None,
+    fused_attn: bool = False,
 ):
     """Train from scratch on ``corpus``; returns (params, losses).
 
@@ -105,7 +110,7 @@ def train_byte_lm(
     def step_fn(master, opt_state, toks):
         def loss_of(m):
             p = jax.tree.map(lambda x: x.astype(cfg.dtype), m)
-            return lm_loss(cfg, p, toks)
+            return lm_loss(cfg, p, toks, fused=fused_attn)
 
         loss, grads = jax.value_and_grad(loss_of)(master)
         updates, opt_state = opt.update(grads, opt_state, master)
@@ -115,7 +120,7 @@ def train_byte_lm(
     @jax.jit
     def eval_fn(master, toks):
         p = jax.tree.map(lambda x: x.astype(cfg.dtype), master)
-        return lm_loss(cfg, p, toks)
+        return lm_loss(cfg, p, toks, fused=fused_attn)
 
     def shard(toks_d):
         if mesh is not None:

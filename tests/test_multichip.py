@@ -46,6 +46,34 @@ def test_lm_roundtrip_on_mesh(model_par):
     assert (decoded == tokens).all()
 
 
+@pytest.mark.parametrize("model_par", [1, 2])
+def test_w8_roundtrip_on_mesh(model_par):
+    """w8 params over the data x model mesh: hazard #5 lived at a program
+    boundary (encoder vs decoder programs) the single-process tests did not
+    cover, and the mesh is another such boundary — the sharded w8 dequant
+    chain must produce the same CDFs in both engine programs (VERDICT r4
+    item 5). Params are pre-quantized (ensure_w8) then sharded, the
+    production order."""
+    import dataclasses
+
+    from lac_tpu.models.transformer import ensure_w8
+
+    mesh, cfg, params = _setup(model_par)
+    cfg = dataclasses.replace(cfg, w8=True)
+    sharded = shard_params(mesh, ensure_w8(cfg, params))
+    b, t_len, pb = 2 * (8 // model_par), 16, 12
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.vocab, (b, t_len)).astype(np.int32)
+    lengths = np.full(b, t_len, dtype=np.int32)
+    tokens_d = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    lengths_d = jax.device_put(lengths, NamedSharding(mesh, P("data")))
+    words, nwords = lm_encode(cfg, sharded, tokens_d, lengths_d, pb)
+    decoded = np.asarray(
+        lm_decode(cfg, sharded, np.asarray(words), lengths_d, pb, t_len)
+    )
+    assert (decoded == tokens).all()
+
+
 def test_container_mesh_metadata_roundtrip():
     """The container records the encode mesh; decode reconstructs it from
     local devices without the caller passing one (VERDICT round-1 item 4)."""

@@ -198,7 +198,6 @@ def test_window_mode_auto_resolution():
     # slide at every block (the round-3 block gate is closed)
     det8 = dataclasses.replace(cfg, det8=True)
     assert _resolve_window_mode("auto", det8) == "slide"
-    assert _resolve_window_mode("auto", det8) == "slide"
     assert _resolve_window_mode(
         "auto", dataclasses.replace(cfg, pos_embedding="learned")) == "reprime"
     assert _resolve_window_mode("reprime", cfg) == "reprime"

@@ -1,9 +1,11 @@
 """Promotion gate for the round-4 byte-20l depth-upcycle checkpoint.
 
 Measures slide-mode bpb of checkpoints/byte20l-pysrc.npz on the EXACT
-bench.py flagship slice at the shipped flagship config (block 16384,
-lanes 16, window 1024 — the segmented slide_seg default), bit-exact
-round-trip enforced. Promote iff bpb < bench.SHIPPED_FLAGSHIP_BPB
+bench.py flagship slice at whatever bench.FLAGSHIP_BLOCK/FLAGSHIP_LANES
+currently ship (the gate TRACKS the live flagship config — round 5:
+block 65536, lanes 4, segmented slide), bit-exact round-trip enforced.
+The r4 gate log (measurements/r4_ratio_probe_20l.log) ran at the then-
+flagship block 16384/lanes 16. Promote iff bpb < bench.SHIPPED_FLAGSHIP_BPB
 (then: bench.FLAGSHIP_CKPTS gains the 20l first, SHIPPED_FLAGSHIP_BPB
 moves, BASELINE.md gets the row).
 """
