@@ -52,6 +52,7 @@ __all__ = [
     "forward",
     "stack_layers",
     "ensure_w8",
+    "init_params_w8",
     "GPT2_SMALL",
     "TINYLLAMA_1B",
     "LLAMA2_7B",
@@ -232,6 +233,95 @@ def init_params(cfg: LMConfig, key: jax.Array) -> dict:
     # per-layer init (bit-identical to the historical per-layer layout),
     # stored stacked for the scan-over-layers forward
     params["layers"] = stack_layers(params["layers"])
+    return params
+
+
+def init_params_w8(cfg: LMConfig, key: jax.Array) -> dict:
+    """STAGED on-device random init + w8 quantization for big models.
+
+    The one-shot fused ``jit(ensure_w8(init_params(...)))`` holds the whole
+    bf16 tree as a compiler-scheduled ghost — at Llama-3-8B shapes that is
+    ~16 GiB and the fused init itself ResourceExhausts once anything else
+    shares the chip (measurements/r4_llama8b_b96.log dies in param init).
+    This variant allocates the quantized [L, ...] accumulators up front,
+    then initializes+quantizes ONE layer per dispatch with the accumulator
+    donated — peak extra footprint is a single layer's bf16 tensors
+    (~0.5 GiB at 8B) instead of the full tree.
+
+    Weight DISTRIBUTION matches init_params (scaled normal); the PRNG key
+    schedule differs, which is immaterial for random-weight capability
+    probes (encode and decode share the same resident tree). Same tree
+    structure as ``ensure_w8(init_params(...))``: W8_KEYS and the head are
+    ``(int8, f32 scale)`` tuples with the 1/127^2 constant folded in."""
+    if not cfg.w8:
+        raise ValueError("init_params_w8 requires cfg.w8")
+    d, h, kvh, hd, ff = cfg.d_model, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.d_ff
+
+    def dense(k, fan_in, shape):
+        return (jax.random.normal(k, shape, f32) / jnp.sqrt(f32(fan_in))).astype(cfg.dtype)
+
+    def qw(w, axis):
+        q, s = _q8(w.astype(f32), axis=axis)
+        return q, s * f32(1.0 / (127.0 * 127.0))
+
+    def layer_q(k):
+        ks = jax.random.split(k, 7)
+        layer = {
+            "ln1": {"scale": jnp.ones((d,), cfg.dtype)},
+            "ln2": {"scale": jnp.ones((d,), cfg.dtype)},
+            "wq": qw(dense(ks[0], d, (d, h * hd)), 0),
+            "wk": qw(dense(ks[1], d, (d, kvh * hd)), 0),
+            "wv": qw(dense(ks[2], d, (d, kvh * hd)), 0),
+            "wo": qw(dense(ks[3], h * hd, (h * hd, d)), 0),
+            "w_up": qw(dense(ks[4], d, (d, ff)), 0),
+            "w_down": qw(dense(ks[5], ff, (ff, d)), 0),
+        }
+        if cfg.act == "silu_glu":
+            layer["w_gate"] = qw(dense(ks[6], d, (d, ff)), 0)
+        if cfg.norm == "layernorm":
+            layer["ln1"]["bias"] = jnp.zeros((d,), cfg.dtype)
+            layer["ln2"]["bias"] = jnp.zeros((d,), cfg.dtype)
+        if cfg.use_bias:
+            for name, width in [
+                ("bq", h * hd), ("bk", kvh * hd), ("bv", kvh * hd), ("bo", d),
+                ("b_up", ff), ("b_down", d),
+            ]:
+                layer[name] = jnp.zeros((width,), cfg.dtype)
+        return layer
+
+    key_tail, *layer_keys = jax.random.split(key, cfg.n_layers + 1)
+    shapes = jax.eval_shape(layer_q, layer_keys[0])
+    acc = jax.tree.map(
+        lambda s: jnp.zeros((cfg.n_layers,) + s.shape, s.dtype), shapes)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def set_layer(acc, l, k):
+        new = layer_q(k)
+        return jax.tree.map(
+            lambda a, n: jax.lax.dynamic_update_index_in_dim(a, n, l, 0),
+            acc, new)
+
+    for l, lk in enumerate(layer_keys):
+        acc = set_layer(acc, jnp.int32(l), lk)
+
+    @jax.jit
+    def tail(k):
+        ke, kh = jax.random.split(k)
+        p = {
+            "embed": dense(ke, 1, (cfg.vocab + 1, d)) * 0.02,
+            "final_norm": {"scale": jnp.ones((d,), cfg.dtype)},
+        }
+        if cfg.norm == "layernorm":
+            p["final_norm"]["bias"] = jnp.zeros((d,), cfg.dtype)
+        if cfg.pos_embedding == "learned":
+            p["pos_embed"] = dense(kh, 1, (cfg.max_seq, d)) * 0.01
+        wh = (p["embed"][: cfg.vocab].T if cfg.tie_embeddings
+              else dense(kh, d, (d, cfg.vocab)))
+        p["head"] = qw(wh, axis=0)
+        return p
+
+    params = tail(key_tail)
+    params["layers"] = acc
     return params
 
 

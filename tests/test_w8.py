@@ -163,3 +163,30 @@ def test_w8_quantization_stays_close_to_float():
     l8, lf = run(cfg8), run(cfgf)
     assert np.abs(l8 - lf).max() < 0.35
     assert np.abs(l8 - lf).mean() < 0.04
+
+
+def test_staged_init_matches_fused_structure():
+    """init_params_w8 (the staged big-model init that bounds the bf16 ghost
+    to one layer — the r4 8B B=96 OOM fix) produces the exact tree
+    structure/shapes/dtypes of ensure_w8(init_params(...)) and codes
+    round-trip, for both arch families."""
+    from lac_tpu.models.transformer import init_params_w8
+    from lac_tpu.runtime.lm_engine import lm_decode, lm_encode
+
+    for kw in (
+        dict(),
+        dict(pos_embedding="learned", norm="layernorm", act="gelu",
+             use_bias=True, tie_embeddings=True),
+    ):
+        cfg, params = _mk(seed=7, **kw)
+        ref = ensure_w8(cfg, params)
+        staged = init_params_w8(cfg, jax.random.PRNGKey(7))
+        rs = jax.tree.map(lambda x: (x.shape, str(x.dtype)), ref)
+        ss = jax.tree.map(lambda x: (x.shape, str(x.dtype)), staged)
+        assert jax.tree_util.tree_structure(rs) == jax.tree_util.tree_structure(ss)
+        assert jax.tree.leaves(rs) == jax.tree.leaves(ss)
+        toks = np.random.default_rng(8).integers(0, cfg.vocab, (4, 16)).astype(np.int32)
+        lens = np.full(4, 16, np.int32)
+        w, _ = lm_encode(cfg, staged, toks, lens, 12)
+        d = np.asarray(lm_decode(cfg, staged, np.asarray(w), lens, 12, 16))
+        assert (d == toks).all()

@@ -71,10 +71,15 @@ def run(cfg, params, tag):
 
 wcfg = dataclasses.replace(cfg, w8=True)
 t0 = time.time()
-wparams = jax.jit(lambda key: ensure_w8(wcfg, init_params(wcfg, key)))(
-    jax.random.PRNGKey(0))
+# STAGED init (round 5): the one-shot fused init+quantize jit holds the
+# ~16 GiB bf16 ghost tree and ResourceExhausted at B=96
+# (measurements/r4_llama8b_b96.log); init_params_w8 initializes+quantizes
+# one layer per dispatch with the accumulator donated
+from lac_tpu.models.transformer import init_params_w8
+
+wparams = init_params_w8(wcfg, jax.random.PRNGKey(0))
 # block_until_ready does NOT wait through the axon tunnel (measured env
 # fact); sync with a scalar fetch on one leaf so the init timer is honest
 int(jnp.sum(jax.tree.leaves(wparams)[0][..., 0].astype(jnp.int32)))
-print(f"on-device init+w8-quantize {time.time()-t0:.0f}s", flush=True)
+print(f"on-device staged init+w8-quantize {time.time()-t0:.0f}s", flush=True)
 run(wcfg, wparams, "w8")
