@@ -110,3 +110,41 @@ def test_warm_start_continuation(tmp_path, trained):
     # begin close to where the donor run ended
     assert cont_losses[0] < losses[0] * 0.6
     assert cont_losses[0] < losses[-1] * 1.5
+
+
+def test_fused_bf16s_loss_matches_exact(trained):
+    """The training-only fused-attention path (round 5): "bf16s" must agree
+    with the exact prefill branch to bf16 tolerance (it is the shipped
+    training config — measurements/r5_train_profile2.log, +29% tok/s).
+    Coding paths never set fused; this guards the training loss surface."""
+    from lac_tpu.models import transformer as T
+
+    cfg, params, _ = trained
+    toks = jnp.asarray(
+        np.frombuffer(_corpus(16 * 33), dtype=np.uint8)
+        .reshape(16, 33).astype(np.int32))
+    le = float(lm_loss(cfg, params, toks, fused=False, remat=False))
+    old = T._FUSED["impl"]
+    T._FUSED["impl"] = "bf16s"
+    try:
+        lb = float(lm_loss(cfg, params, toks, fused=True, remat=False))
+        g = jax.grad(lambda p: lm_loss(cfg, p, toks, fused=True, remat=False))(params)
+    finally:
+        T._FUSED["impl"] = old
+    assert abs(lb - le) < 5e-3, (lb, le)
+    assert all(bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
+               for x in jax.tree.leaves(g))
+
+
+def test_fused_ignored_on_decode_steps(trained):
+    """fused=True only affects prefill (S>1, empty cache); single-token
+    steps — the coding schedule — take the exact branch regardless, so a
+    stray fused flag cannot change bitstreams."""
+    from lac_tpu.models.transformer import forward, init_cache
+
+    cfg, params, _ = trained
+    toks = jnp.asarray(np.arange(4, dtype=np.int32).reshape(4, 1))
+    cache = init_cache(cfg, 4, 32)
+    a, _ = forward(cfg, params, toks, cache, fused=False)
+    b, _ = forward(cfg, params, toks, cache, fused=True)
+    assert (np.asarray(a) == np.asarray(b)).all()
