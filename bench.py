@@ -321,6 +321,21 @@ def main() -> int:
             raise RuntimeError(f"7b row rc={r.returncode}: {r.stderr[-300:]}")
         detail.update(json.loads(r.stdout.strip().splitlines()[-1]))
 
+    @section("lm_8b")
+    def _lm8b():
+        # BASELINE config #5's single-chip leg (Llama-3-8B w8, B=96, staged
+        # init) — subprocess + hard timeout like the 7B row; the staged init
+        # adds ~2 min of dispatches, the compile cache covers the rest
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, "/root/repo/tools/bench_8b_row.py"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"8b row rc={r.returncode}: {r.stderr[-300:]}")
+        detail.update(json.loads(r.stdout.strip().splitlines()[-1]))
+
     print(json.dumps({
         "metric": "byte-path (order0n turbo) encode+decode throughput, 1 chip",
         "value": primary.get("value"),

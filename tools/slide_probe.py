@@ -36,6 +36,9 @@ CASES = [
     ("byte16l", "checkpoints/byte16l-pysrc.npz", 0.8769),
     ("byte12l", "checkpoints/byte12l-pysrc.npz", 0.9339),
 ]
+_only = os.environ.get("LAC_SLIDE_ONLY")  # comma-sep case names
+if _only:
+    CASES = [c for c in CASES if c[0] in _only.split(",")]
 
 for name, ckpt, shipped in CASES:
     model = resolve_lm(f"file:{ckpt}", None)
