@@ -696,10 +696,11 @@ def _det_attn_out_cached(probs: jax.Array, cv: jax.Array, v: jax.Array) -> jax.A
 
 # Training-only fused-attention implementation selector (probed on-chip in
 # measurements/r5_train_profile*.log; training scripts may override).
-#   impl: "flash" (pallas flash kernel) | "splash" | "bf16s" (exact
-#         structure, bf16 score/prob materialization + post-PV normalize)
+#   impl: "bf16s" (exact structure, bf16 score/prob materialization +
+#         post-PV normalize — the measured winner, 75.8k vs 58.6k tok/s
+#         baseline at byte-20l shapes) | "flash" | "splash"
 #   flash_bs / splash_bs: optional kernel BlockSizes overrides
-_FUSED = {"impl": "flash", "flash_bs": None, "splash_bs": None}
+_FUSED = {"impl": "bf16s", "flash_bs": None, "splash_bs": None}
 
 
 def _splash_prefill(cfg: LMConfig, qg, k, v):
